@@ -1,0 +1,33 @@
+"""liwslam — a TPU-native 2D LiDAR-Inertial-Wheel SLAM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+2DLIW-SLAM (reference: LittleDang/2DLIW-SLAM, a ROS1/C++/Ceres system):
+
+- IMU + wheel-odometry preintegration        -> ``liwslam.frontend.preintegration``
+- laser line/corner extraction + matching    -> ``liwslam.frontend.scan`` / ``.matching``
+- tightly-coupled sliding-window solve with
+  marginalization prior                      -> ``liwslam.solve``
+- corner-constellation loop detection        -> ``liwslam.backend.loop``
+- pose-graph back end                        -> ``liwslam.backend.posegraph``
+- distributed (multi-chip/host) pose graph   -> ``liwslam.parallel``
+- dormant monocular camera capability        -> ``liwslam.camera``
+
+Design stance (NOT a port): state lives in fixed-capacity masked arrays,
+factors are batched residual functions differentiated with ``jax.jacfwd``,
+both Ceres problems of the reference collapse into one masked
+Gauss-Newton/LM loop, and the whole per-frame front end compiles into a
+single XLA program that ``lax.scan``s over frames.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM is a numerics problem: Gauss-Newton normal equations, Lie-group
+# compositions and eigendecompositions need true float32 accumulation.  TPU
+# matmuls default to bfloat16 inputs, which injects ~1e-2 errors into 3x3
+# rotation algebra — unacceptable here.  Hot kernels that can tolerate bf16
+# (dense match scoring, descriptor popcounts) opt back in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from liwslam.config import Params  # noqa: F401,E402

@@ -1,0 +1,224 @@
+"""Batched Lie-group primitives (so3/SE3) in pure jax.numpy.
+
+Capability parity with the reference ``lie::`` namespace
+(``src/utilies/common.h:119-196``): ``exp_so3``, ``log_SO3``, ``log_SE3``,
+``make_tf``, ``normalize_so3``, ``normalize_tf`` — plus ``convert::``
+helpers (``cross_matrix``, ``disdiagonal2``).
+
+Design notes (TPU-first):
+
+- Everything broadcasts over leading batch dimensions and is safe under
+  ``jit``/``vmap``/``jacfwd``.  The reference reaches the same genericity
+  via Ceres ``Jet`` templates; here plain JAX tracing does the job.
+- Small-angle singularities are handled with Taylor expansions selected by
+  ``jnp.where`` on *safe* inputs (both branches evaluate finite values and
+  finite derivatives), because a NaN in the untaken branch still poisons
+  forward-mode gradients.
+- ``log_SE3`` follows the reference convention: the translation part is the
+  raw translation (NOT the V-matrix-corrected SE3 log) — the reference
+  treats poses as (p, so3(R)) pairs throughout (common.h:166-171).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def skew(w):
+    """Cross-product matrix: skew(w) @ v == cross(w, v) (convert::cross_matrix)."""
+    w = jnp.asarray(w)
+    z = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], z, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def diag_sq(sigma):
+    """diag(sigma_i^2) (convert::disdiagonal2, common.h:40-47)."""
+    sigma = jnp.asarray(sigma)
+    n = sigma.shape[-1]
+    return jnp.eye(n, dtype=sigma.dtype) * (sigma**2)[..., None, :]
+
+
+def exp_so3(w):
+    """Rodrigues: so3 vector (…,3) -> rotation matrix (…,3,3)."""
+    w = jnp.asarray(w)
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
+    small = theta2 < _EPS
+    # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta * theta))
+    K = skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+
+
+def quat_from_mat(R):
+    """Rotation matrix (…,3,3) -> unit quaternion (…,4) [w,x,y,z], w >= 0.
+
+    Branchless Shepperd extraction: compute all four candidate quaternions
+    and select by the largest pivot — vmap/TPU friendly (no data-dependent
+    control flow).
+    """
+    R = jnp.asarray(R)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, _EPS))
+
+    # candidate 0: pivot w
+    s0 = safe_sqrt(1.0 + tr) * 2.0
+    q0 = jnp.stack([0.25 * s0, (m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0], -1)
+    # candidate 1: pivot x
+    s1 = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
+    q1 = jnp.stack([(m21 - m12) / s1, 0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1], -1)
+    # candidate 2: pivot y
+    s2 = safe_sqrt(1.0 + m11 - m00 - m22) * 2.0
+    q2 = jnp.stack([(m02 - m20) / s2, (m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2], -1)
+    # candidate 3: pivot z
+    s3 = safe_sqrt(1.0 + m22 - m00 - m11) * 2.0
+    q3 = jnp.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3], -1)
+
+    scores = jnp.stack([tr, m00, m11, m22], -1)
+    best = jnp.argmax(scores, axis=-1)
+    cands = jnp.stack([q0, q1, q2, q3], -2)  # (...,4,4)
+    q = jnp.take_along_axis(cands, best[..., None, None].astype(jnp.int32), axis=-2)[
+        ..., 0, :
+    ]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # canonical hemisphere (w >= 0) so the angle lands in [0, pi]
+    q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    return q
+
+
+def log_SO3(R):
+    """Rotation matrix (…,3,3) -> so3 vector (…,3), |angle| <= pi.
+
+    Quaternion route, matching the reference's ceres
+    AngleAxis<->Quaternion conversions (common.h:148-163).
+    """
+    q = quat_from_mat(R)
+    qw, qv = q[..., 0], q[..., 1:]
+    sin_half = jnp.linalg.norm(qv, axis=-1)
+    angle = 2.0 * jnp.arctan2(sin_half, qw)
+    small = sin_half < _EPS
+    scale = jnp.where(small, 2.0, angle / jnp.maximum(sin_half, _EPS))
+    return scale[..., None] * qv
+
+
+def normalize_so3(w):
+    """Wrap an so3 vector so its angle lies in (-pi, pi] (lie::normalize_so3)."""
+    w = jnp.asarray(w)
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, -1), _EPS * _EPS))
+    two_pi = 2.0 * jnp.pi
+    wrapped = theta - two_pi * jnp.floor((theta + jnp.pi) / two_pi)
+    scale = jnp.where(theta > jnp.pi, wrapped / theta, 1.0)
+    return w * scale[..., None]
+
+
+def make_tf(p, w):
+    """(p (…,3), so3 w (…,3)) -> homogeneous transform (…,4,4) (lie::make_tf)."""
+    p = jnp.asarray(p)
+    R = exp_so3(jnp.asarray(w))
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(p)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def make_tf_R(p, R):
+    """(p (…,3), R (…,3,3)) -> (…,4,4)."""
+    p = jnp.asarray(p)
+    R = jnp.asarray(R)
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(p)
+    T = T.at[..., 3, 3].set(1.0)
+    return T
+
+
+def log_SE3(T):
+    """(…,4,4) -> (p (…,3), so3 (…,3)).  Reference convention: p is the raw
+    translation column, not the V-corrected SE3 log (common.h:166-171)."""
+    T = jnp.asarray(T)
+    return T[..., :3, 3], log_SO3(T[..., :3, :3])
+
+
+def tf_inv(T):
+    """Inverse of a rigid transform without a general 4x4 inverse."""
+    T = jnp.asarray(T)
+    R = T[..., :3, :3]
+    p = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return make_tf_R(-(Rt @ p[..., None])[..., 0], Rt)
+
+
+def tf_apply(T, pts):
+    """Apply (…,4,4) to points (…,3) (broadcasting over leading dims)."""
+    T = jnp.asarray(T)
+    pts = jnp.asarray(pts)
+    return (T[..., :3, :3] @ pts[..., None])[..., 0] + T[..., :3, 3]
+
+
+def tf_compose(A, B):
+    return A @ B
+
+
+def normalize_tf(T):
+    """Re-orthonormalize the rotation block via quaternion round trip
+    (lie::normalize_tf)."""
+    q = quat_from_mat(T[..., :3, :3])
+    return make_tf_R(T[..., :3, 3], mat_from_quat(q))
+
+
+def mat_from_quat(q):
+    """Unit quaternion (…,4) [w,x,y,z] -> rotation matrix (…,3,3)."""
+    q = jnp.asarray(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], -1),
+            jnp.stack([r10, r11, r12], -1),
+            jnp.stack([r20, r21, r22], -1),
+        ],
+        axis=-2,
+    )
+
+
+def dis_from_line(p, p1, p2):
+    """Distance of point(s) ``p`` from the infinite line through ``p1``,``p2``
+    (e_laser::dis_from_line, common.h:86-95).  Safe for degenerate lines."""
+    p = jnp.asarray(p)
+    d = p2 - p1
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    v = p - p2
+    perp = v - jnp.sum(d * v, -1, keepdims=True) * d
+    return jnp.linalg.norm(perp, axis=-1)
+
+
+def angle_wrap(a):
+    """Wrap scalar angle(s) to (-pi, pi]."""
+    return a - 2.0 * jnp.pi * jnp.floor((a + jnp.pi) / (2.0 * jnp.pi))

@@ -1,0 +1,310 @@
+"""Vectorized laser line/corner extraction (the reference's ``spawn_scan``).
+
+Capability parity with ``src/trajectory/laser_manager.cpp:350-422`` plus the
+line-fit helpers at ``laser_manager.cpp:19-94`` and corner spawning inside
+``scan::add_line`` (``laser_manager.cpp:137-191``):
+
+1. split the scan into contiguous segments at range discontinuities,
+2. corner response = cos of the angle over a ±3-point window, with
+   non-max suppression,
+3. breakpoints bound candidate lines; near-collinear joints (angle above
+   ``line_max_tolerance_angle``) are merged through,
+4. each span is fit with a total-least-squares line, gated by max
+   point-to-line distance and minimum length,
+5. corners = intersections of line pairs meeting at 30°-150° with both
+   segments passing near the intersection.
+
+TPU-native redesign (one fused program, no data-dependent shapes):
+
+- segments via cumsum of break flags; per-point segment bounds via
+  ``segment_min/max``; responses and NMS as shifted comparisons,
+- per-span line fits from *prefix sums* of point moments (every candidate
+  span is an O(1) range query),
+- the reference's sequential "skip step after accepting a maximum" and
+  "merge from the last accepted breakpoint" loops are replaced by their
+  order-independent local equivalents (strict NMS; per-joint collinearity
+  test).  On real scans these select the same breakpoints except for ties.
+- line fit is true TLS (normal direction = minor eigenvector of the 2x2
+  scatter), where the reference uses the smallest right singular vector of
+  ``[x y 1]`` (an algebraic fit).  For spans that pass the 3 cm
+  ``line_max_dis`` gate the two coincide to measurement noise.
+- corner pair gating uses point-to-segment distance <= 2*resolution in
+  place of the reference's shared-grid-cell test (laser_manager.cpp:175-189).
+
+Output capacities are static: ``max_lines`` / ``max_corners`` winners are
+compacted in scan order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e9
+_EPS = 1e-8
+
+
+class ScanFeatures(NamedTuple):
+    """Fixed-capacity equivalent of the reference ``scan`` object
+    (laser_type.h): lines + corners extracted from one laser sweep."""
+
+    p1: jnp.ndarray  # (L,3) line start points (laser frame, z=0)
+    p2: jnp.ndarray  # (L,3) line end points
+    line_valid: jnp.ndarray  # (L,) bool
+    corners: jnp.ndarray  # (C,3)
+    corner_valid: jnp.ndarray  # (C,) bool
+
+    @property
+    def n_lines(self):
+        return jnp.sum(self.line_valid.astype(jnp.int32))
+
+    @property
+    def n_corners(self):
+        return jnp.sum(self.corner_valid.astype(jnp.int32))
+
+
+def _compact(valid, cap, *arrays):
+    """Take the first ``cap`` valid rows (scan order) of each array."""
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)[:cap]
+    out_valid = valid[order]
+    return (out_valid,) + tuple(a[order] for a in arrays)
+
+
+def _range_sum(cumsum, i1, i2):
+    """Inclusive range sum over a prefix-sum array with leading zero row."""
+    return cumsum[i2 + 1] - cumsum[i1]
+
+
+def extract_features(
+    points,
+    valid,
+    *,
+    continuous_threshold: float,
+    min_len: float,
+    max_dis: float,
+    tolerance_angle_rad: float,
+    resolution: float,
+    max_lines: int,
+    max_corners: int,
+    step: int = 3,
+) -> ScanFeatures:
+    """points: (N,3) ordered scan points (z ignored); valid: (N,) bool."""
+    N = points.shape[0]
+    dtype = points.dtype
+    xy = points[:, :2]
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # --- 1. segmentation ------------------------------------------------
+    gap = jnp.linalg.norm(xy[1:] - xy[:-1], axis=-1)
+    cont = jnp.concatenate(
+        [
+            jnp.zeros(1, bool),
+            (gap <= continuous_threshold) & valid[1:] & valid[:-1],
+        ]
+    )
+    seg_id = jnp.cumsum(jnp.logical_not(cont).astype(jnp.int32))
+    seg_start = jax.ops.segment_min(idx, seg_id, num_segments=N + 1)[seg_id]
+    seg_end = jax.ops.segment_max(idx, seg_id, num_segments=N + 1)[seg_id]
+
+    # --- 2. corner response (clac_cos over a clamped ±step window) -------
+    j_idx = jnp.maximum(idx - step, seg_start)
+    k_idx = jnp.minimum(idx + step, seg_end)
+    pj = xy[j_idx]
+    pk = xy[k_idx]
+    v1 = pj - xy
+    v2 = pk - xy
+    n1 = jnp.linalg.norm(v1, axis=-1)
+    n2 = jnp.linalg.norm(v2, axis=-1)
+    resp = jnp.sum(v1 * v2, -1) / jnp.maximum(n1 * n2, _EPS)
+    interior = (idx > seg_start) & (idx < seg_end) & valid
+    resp = jnp.where(interior & (n1 > _EPS) & (n2 > _EPS), resp, -1.0)
+
+    # --- 3. strict NMS within ±step (same segment, interior only) --------
+    is_max = interior
+    for d in range(1, step + 1):
+        for sgn in (-1, 1):
+            nb = jnp.clip(idx + sgn * d, 0, N - 1)
+            same = (seg_id[nb] == seg_id) & (nb != idx) & interior[nb]
+            nb_resp = jnp.where(same, resp[nb], -_BIG)
+            is_max = is_max & (resp > nb_resp)
+
+    # breakpoints: segment starts/ends + NMS maxima
+    is_bp = is_max | ((idx == seg_start) | (idx == seg_end)) & valid
+
+    # --- 3b. merge near-collinear joints --------------------------------
+    # previous / next breakpoint index for every point (within segment)
+    bp_idx_fwd = jnp.where(is_bp, idx, -1)
+    prev_bp = jax.lax.associative_scan(jnp.maximum, bp_idx_fwd)
+    bp_idx_bwd = jnp.where(is_bp, idx, N + 1)
+    next_bp = jax.lax.associative_scan(
+        jnp.minimum, bp_idx_bwd, reverse=True
+    )
+
+    # for a bp at i: prev bp strictly before, next bp strictly after
+    prev_of = jnp.where(idx > 0, prev_bp[jnp.maximum(idx - 1, 0)], -1)
+    next_of = jnp.where(idx < N - 1, next_bp[jnp.minimum(idx + 1, N - 1)], N + 1)
+    has_prev = (prev_of >= 0) & (seg_id[jnp.clip(prev_of, 0, N - 1)] == seg_id)
+    has_next = (next_of <= N - 1) & (seg_id[jnp.clip(next_of, 0, N - 1)] == seg_id)
+    pprev = xy[jnp.clip(prev_of, 0, N - 1)]
+    pnext = xy[jnp.clip(next_of, 0, N - 1)]
+    u1 = pprev - xy
+    u2 = pnext - xy
+    joint_cos = jnp.sum(u1 * u2, -1) / jnp.maximum(
+        jnp.linalg.norm(u1, axis=-1) * jnp.linalg.norm(u2, axis=-1), _EPS
+    )
+    joint_angle = jnp.arccos(jnp.clip(joint_cos, -1.0, 1.0))
+    # an interior bp survives only if the joint bends enough
+    survives = jnp.abs(joint_angle) < tolerance_angle_rad
+    is_endpoint = (idx == seg_start) | (idx == seg_end)
+    keep_bp = is_bp & (is_endpoint | survives | ~(has_prev & has_next))
+
+    # --- 4. candidate spans between consecutive kept breakpoints ---------
+    kept_next = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(keep_bp, idx, N + 1), reverse=True
+    )
+    span_end = jnp.where(idx < N - 1, kept_next[jnp.minimum(idx + 1, N - 1)], N + 1)
+    cand_valid = keep_bp & (span_end <= N - 1) & (span_end - idx >= 2)
+    cand_valid = cand_valid & (seg_id[jnp.clip(span_end, 0, N - 1)] == seg_id) & valid
+    i1 = idx
+    i2 = jnp.clip(span_end, 0, N - 1)
+
+    # prefix sums of point moments (leading zero row)
+    m = valid.astype(dtype)[:, None]
+    x = xy[:, 0:1] * m
+    y = xy[:, 1:2] * m
+    moments = jnp.concatenate([x, y, x * x, x * y, y * y, m], axis=1)
+    cs = jnp.concatenate([jnp.zeros((1, 6), dtype), jnp.cumsum(moments, 0)], 0)
+    S = _range_sum(cs, i1, i2)  # (N,6): sx sy sxx sxy syy n
+    n = jnp.maximum(S[:, 5], 1.0)
+    mx, my = S[:, 0] / n, S[:, 1] / n
+    cxx = S[:, 2] / n - mx * mx
+    cxy = S[:, 3] / n - mx * my
+    cyy = S[:, 4] / n - my * my
+    # minor eigenvector of [[cxx,cxy],[cxy,cyy]] = line normal (TLS fit)
+    tr = cxx + cyy
+    det = cxx * cyy - cxy * cxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    lam_min = tr / 2 - disc
+    # eigenvector for lam_min: rows of (C - lam_min I) span the normal's
+    # orthogonal complement; use the better-conditioned row
+    ex1 = jnp.stack([cxy, lam_min - cxx], -1)
+    ex2 = jnp.stack([lam_min - cyy, cxy], -1)
+    use1 = jnp.linalg.norm(ex1, axis=-1) > jnp.linalg.norm(ex2, axis=-1)
+    nvec = jnp.where(use1[:, None], ex1, ex2)
+    nnorm = jnp.maximum(jnp.linalg.norm(nvec, axis=-1, keepdims=True), _EPS)
+    nvec = nvec / nnorm
+    cc = -(nvec[:, 0] * mx + nvec[:, 1] * my)  # ax+by+c=0 through centroid
+
+    # endpoints = projections of the span's first/last points onto the line
+    def project(pt, nv, c):
+        d = jnp.sum(pt * nv, -1) + c
+        return pt - d[:, None] * nv
+
+    e1 = project(xy[i1], nvec, cc)
+    e2 = project(xy[i2], nvec, cc)
+    length = jnp.linalg.norm(e2 - e1, axis=-1)
+
+    # per-point distance to its own span's line -> segment_max per span
+    # (a span is identified by its starting kept breakpoint)
+    prev_kept = jax.lax.associative_scan(jnp.maximum, jnp.where(keep_bp, idx, -1))
+    own_span = jnp.clip(prev_kept, 0, N - 1)
+    d_own = jnp.abs(
+        jnp.sum(xy * nvec[own_span], -1) + cc[own_span]
+    )
+    d_own = jnp.where(valid & (prev_kept >= 0), d_own, 0.0)
+    max_d = jax.ops.segment_max(d_own, own_span, num_segments=N)
+    max_d = jnp.where(jnp.isfinite(max_d), max_d, 0.0)
+
+    line_ok = (
+        cand_valid
+        & (max_d <= max_dis)
+        & (length >= min_len)
+        & jnp.isfinite(length)
+    )
+
+    lv, lp1, lp2, lnv = _compact(line_ok, max_lines, e1, e2, nvec)
+    z = jnp.zeros((max_lines, 1), dtype)
+    lp1 = jnp.concatenate([lp1, z], 1)
+    lp2 = jnp.concatenate([lp2, z], 1)
+
+    # --- 5. corners -------------------------------------------------------
+    corners, corner_valid = _find_corners(
+        lp1[:, :2], lp2[:, :2], lv, resolution, max_corners, dtype
+    )
+    cz = jnp.zeros((max_corners, 1), dtype)
+    corners = jnp.concatenate([corners, cz], 1)
+
+    return ScanFeatures(
+        p1=lp1, p2=lp2, line_valid=lv, corners=corners, corner_valid=corner_valid
+    )
+
+
+def _point_segment_dist(p, a, b):
+    """Distance from points p (...,2) to segments (a,b) (...,2)."""
+    ab = b - a
+    t = jnp.sum((p - a) * ab, -1) / jnp.maximum(jnp.sum(ab * ab, -1), _EPS)
+    t = jnp.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    return jnp.linalg.norm(p - proj, axis=-1)
+
+
+def _find_corners(p1, p2, valid, resolution, max_corners, dtype):
+    """Intersections of line pairs meeting at 30-150 deg, both segments
+    passing near the intersection (scan::add_line corner logic)."""
+    L = p1.shape[0]
+    d = p2 - p1
+    length = jnp.linalg.norm(d, axis=-1)
+    dirs = d / jnp.maximum(length, _EPS)[:, None]
+
+    cosang = jnp.abs(dirs @ dirs.T)  # (L,L)
+    ang = jnp.arccos(jnp.clip(dirs @ dirs.T, -1.0, 1.0))
+    ang_ok = (ang > jnp.deg2rad(30.0)) & (ang < jnp.deg2rad(150.0))
+    del cosang
+
+    # infinite-line intersection via 2x2 solve: n_i . x = n_i . p_i
+    nvec = jnp.stack([-dirs[:, 1], dirs[:, 0]], -1)  # normals
+    bvals = jnp.sum(nvec * p1, -1)
+    A00 = nvec[:, None, 0]
+    A01 = nvec[:, None, 1]
+    A10 = nvec[None, :, 0]
+    A11 = nvec[None, :, 1]
+    detA = A00 * A11 - A01 * A10
+    b0 = bvals[:, None] * jnp.ones((1, L), dtype)
+    b1 = bvals[None, :] * jnp.ones((L, 1), dtype)
+    safe_det = jnp.where(jnp.abs(detA) < _EPS, 1.0, detA)
+    xi = (b0 * A11 - b1 * A01) / safe_det
+    yi = (A00 * b1 - A10 * b0) / safe_det
+    X = jnp.stack([xi, yi], -1)  # (L,L,2)
+
+    near_i = _point_segment_dist(X, p1[:, None, :], p2[:, None, :]) <= 2.0 * resolution
+    near_j = _point_segment_dist(X, p1[None, :, :], p2[None, :, :]) <= 2.0 * resolution
+    long_ok = (length[:, None] > 0.1) & (length[None, :] > 0.1)
+    pair_ok = (
+        ang_ok
+        & near_i
+        & near_j
+        & long_ok
+        & valid[:, None]
+        & valid[None, :]
+        & (jnp.abs(detA) > _EPS)
+        & (jnp.arange(L)[:, None] < jnp.arange(L)[None, :])
+    )
+    flat_ok = pair_ok.reshape(-1)
+    flat_X = X.reshape(-1, 2)
+    cv, cpts = _compact(flat_ok, max_corners, flat_X)
+    return cpts, cv
+
+
+def deskew(points, times_rel, linear, angular):
+    """Motion de-skew (sensor::laser::correct, sensor.h:51-94): rotate each
+    ray by its per-point time offset under the current twist estimate.
+
+    points: (N,3); times_rel: (N,) seconds relative to scan stamp;
+    linear/angular: (3,) laser-frame twist."""
+    from liwslam.core import geometry as geo
+
+    dt = times_rel[:, None]
+    T = geo.make_tf(dt * linear[None, :], dt * angular[None, :])
+    return geo.tf_apply(T, points)

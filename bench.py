@@ -1,0 +1,124 @@
+"""Benchmark: front-end tracking frames/s on one chip (synthetic office run).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Baseline note: the reference publishes no numeric throughput (BASELINE.md);
+its shipped real-time gate is FPS=40 (config/params.yaml:42) on a desktop
+CPU, and the BASELINE.json target is >=10x reference CPU frames/s on one
+chip.  We use 40 frames/s as the reference-CPU proxy, so vs_baseline =
+measured_fps / 40 and the >=10x target corresponds to vs_baseline >= 10.
+
+The measured program is the full per-frame front end (de-skew, IMU+wheel
+preintegration, line/corner extraction, submap matching, sliding-window
+LM solve, marginalization, keyframe logic, submap accumulation) running
+as lax.scan chunks on device; ATE vs simulator ground truth is checked as
+a sanity gate (reported on stderr).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from liwslam import config
+    from liwslam.eval import metrics
+    from liwslam.frontend.driver import Frontend
+    from liwslam.sim import world as sim
+
+    prm = config.office().replace(
+        max_points=1024,
+        max_lines=64,
+        max_corners=16,
+        ref_capacity=1024,
+        max_imu_per_frame=32,
+        max_wheel_per_frame=8,
+        solver_max_iterations=8,
+        init_solver_max_iterations=25,
+    )
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    streams = sim.simulate(
+        sim.default_track("loop"),
+        sim.square_room(size=16.0, obstacles=True),
+        prm,
+        imu_hz=200,
+        wheel_hz=20,
+        laser_hz=10,
+        n_beams=720,
+        noise=True,
+        seed=1,
+    )
+    fe = Frontend(prm)
+    frames, lt = fe.pack_frames(streams)
+    track, k0, st_init, init_times = fe.initialize(frames, lt)
+
+    chunk_fn = fe._chunk_fn()
+    CH = 64
+    import jax.numpy as jnp
+
+    def pack(lo, hi):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *frames[lo:hi]
+        )
+
+    F = len(frames)
+    n_bench = ((F - k0) // CH) * CH
+    assert n_bench >= CH, "sequence too short"
+
+    # warm-up / compile
+    batch0 = pack(k0, k0 + CH)
+    t0 = time.time()
+    track1, outs = chunk_fn(track, batch0)
+    jax.block_until_ready(outs.p)
+    compile_s = time.time() - t0
+
+    # timed steady-state pass over the remaining chunks (re-running the
+    # first chunk result; state flows chunk to chunk as in production)
+    batches = [pack(k0 + i, k0 + i + CH) for i in range(0, n_bench, CH)]
+    t0 = time.time()
+    trk = track
+    all_out = []
+    for b in batches:
+        trk, outs = chunk_fn(trk, b)
+        all_out.append(outs)
+    jax.block_until_ready(outs.p)
+    dt = time.time() - t0
+    fps = n_bench / dt
+
+    # sanity: trajectory quality on the benched frames
+    ps = np.concatenate([np.asarray(o.p) for o in all_out])
+    qs = np.concatenate([np.asarray(o.q) for o in all_out])
+    from liwslam.core import geometry as geo
+
+    est = np.asarray(geo.make_tf(jnp.asarray(ps), jnp.asarray(qs)))
+    t_est = lt[k0 : k0 + n_bench]
+    pairs = metrics.associate_by_time(t_est, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate = metrics.ate_rmse(est[pairs[:, 0]], gt, align=True)
+    print(
+        f"frames={n_bench} wall={dt:.2f}s fps={fps:.1f} compile={compile_s:.1f}s "
+        f"ATE={ate:.3f}m",
+        file=sys.stderr,
+    )
+
+    baseline_fps = 40.0  # reference real-time gate (see module docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "frontend tracking throughput (synthetic office, 720-beam scans, full solve)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

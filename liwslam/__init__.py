@@ -30,4 +30,15 @@ import jax as _jax
 # (dense match scoring, descriptor popcounts) opt back in locally.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# The TPU tunnel in this environment compiles remotely (~30 s+ per program);
+# persist compiled executables across processes so repeat runs skip it.
+import os as _os
+
+_cache = _os.environ.get("LIWSLAM_JAX_CACHE", "/tmp/liwslam_jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs
+    pass
+
 from liwslam.config import Params  # noqa: F401,E402

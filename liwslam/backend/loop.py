@@ -1,0 +1,228 @@
+"""Corner-constellation loop detection (global feature-point matching).
+
+Capability parity with ``laser_map_feature`` and the loop-detection path
+(``src/trajectory/keyframe_manager.cpp:898-1183``, ``keyframe_type.h``):
+
+- each descriptor map collects the deduplicated accumulated corners of the
+  last ``submap_count`` laser keyframes (dedup: merge closer than d_res/2,
+  drop closer than 5*d_res — keyframe_manager.cpp:955-981),
+- per corner i: the multiset of (angle a_ij, quantized distance d_ij) to
+  every other corner, plus a bitmap over distance bins for a popcount
+  prefilter (``quick_des``),
+- match_des: distance-multiset join with rotation-consistency voting into
+  an angle-difference histogram; the largest consistent set wins, with at
+  most one vote per left-hand neighbor,
+- match_map: a few probe corners of map1 against all corners of map2,
+- the winning correspondence set feeds a closed-form planar Kabsch ICP
+  (the reference solves the identical unweighted point-to-point problem
+  iteratively, ICP_solve_by_opt keyframe_manager.cpp:513-538; Kabsch is
+  its exact optimum and the reference itself ships the SVD variant as
+  ``e_laser::ICP_solve``, common.cpp:47-73).
+
+TPU-native redesign: the merge-join over sorted distance lists becomes a
+dense (P x P) distance-equality mask per corner pair, and the angle
+histogram becomes a one-hot reduction — batched over (probe x candidate)
+pairs in one jitted program.  No sorting, no data-dependent loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class MapFeature(NamedTuple):
+    """Fixed-capacity descriptor map (laser_map_feature)."""
+
+    points: jnp.ndarray  # (P,3) corner positions (world/tracking frame)
+    valid: jnp.ndarray  # (P,)
+    dist_q: jnp.ndarray  # (P,P) int32 quantized pair distances
+    ang: jnp.ndarray  # (P,P) f32 pair angles in [0, 2pi)
+    bitmap: jnp.ndarray  # (P,NW) uint32 distance-bin bitmap
+    origin: jnp.ndarray  # (4,4) tracking pose of the newest laser keyframe
+    index: int  # keyframe index of the newest laser keyframe
+
+
+def dedup_corners(corner_sets, d_res, capacity, seed=0):
+    """Merge/drop near-duplicate corners (keyframe_manager.cpp:955-981),
+    then shuffle (the reference random_shuffles so its probe corners are
+    random; we shuffle deterministically by seed).  Host numpy."""
+    pts: list = []
+    for cs in corner_sets:
+        for c in np.asarray(cs).reshape(-1, 3):
+            dup = False
+            for k in range(len(pts)):
+                d = np.linalg.norm((c - pts[k])[:2])
+                if d < d_res / 2:
+                    pts[k] = (pts[k] * 3 + c) / 4
+                if d < d_res * 5:
+                    dup = True
+                    break
+            if not dup:
+                pts.append(c.astype(np.float64))
+    pts = np.asarray(pts, np.float64).reshape(-1, 3)
+    rng = np.random.default_rng(seed)
+    pts = pts[rng.permutation(len(pts))][:capacity]
+    return pts
+
+
+def build_map_feature(
+    corner_sets, origin, index, *, d_res, capacity, n_dist_bins, seed=0
+) -> MapFeature:
+    """Descriptor construction (keyframe_manager.cpp:985-1017)."""
+    pts = dedup_corners(corner_sets, d_res, capacity, seed)
+    P = capacity
+    n = len(pts)
+    pad = np.zeros((P, 3), np.float32)
+    pad[:n] = pts
+    valid = np.arange(P) < n
+
+    v = pad[None, :, :2] - pad[:, None, :2]  # (P,P,2)
+    dist = np.linalg.norm(v, axis=-1)
+    dist_q = np.floor(dist / d_res + 0.5).astype(np.int32)  # round() int cast
+    # f(v_ij): angle from +x, in [0, 2pi) (keyframe_manager.cpp:933-940)
+    ang = np.arctan2(v[..., 1], v[..., 0])
+    ang = np.where(ang < 0, ang + 2 * np.pi, ang).astype(np.float32)
+
+    NW = (n_dist_bins + 31) // 32
+    bitmap = np.zeros((P, NW), np.uint32)
+    pair_ok = valid[:, None] & valid[None, :] & ~np.eye(P, dtype=bool)
+    for i in range(n):
+        bins = dist_q[i][pair_ok[i]]
+        bins = bins[bins < n_dist_bins]
+        # unbuffered OR: fancy-index |= silently drops duplicate word indices
+        np.bitwise_or.at(
+            bitmap[i], bins // 32, np.uint32(1) << (bins % 32).astype(np.uint32)
+        )
+
+    return MapFeature(
+        points=jnp.asarray(pad),
+        valid=jnp.asarray(valid),
+        dist_q=jnp.asarray(dist_q),
+        ang=jnp.asarray(ang),
+        bitmap=jnp.asarray(bitmap),
+        origin=jnp.asarray(np.asarray(origin), jnp.float32),
+        index=int(index),
+    )
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def score_pairs(
+    m1: MapFeature,
+    m2: MapFeature,
+    probes: jnp.ndarray,  # (NP,) int32 corner indices of m1
+    *,
+    a_res: float,
+    n_angle_bins: int,
+    min_match_threshold: int,
+):
+    """For every (probe i, candidate j) corner pair: the best rotation
+    bin and its unique-left-neighbor vote count (match_des semantics,
+    keyframe_manager.cpp:1034-1123).  Returns (counts (NP,P), bins (NP,P))."""
+    P = m1.points.shape[0]
+    orig = n_angle_bins // 2
+
+    def one_pair(i, j):
+        # popcount prefilter on the distance-bin bitmaps
+        inter = jnp.sum(_popcount32(m1.bitmap[i] & m2.bitmap[j]))
+        d1 = m1.dist_q[i]  # (P,)
+        a1 = m1.ang[i]
+        d2 = m2.dist_q[j]
+        a2 = m2.ang[j]
+        k1v = m1.valid & (jnp.arange(P) != i)
+        k2v = m2.valid & (jnp.arange(P) != j)
+        eq = (d1[:, None] == d2[None, :]) & k1v[:, None] & k2v[None, :]
+        adiff = a1[:, None] - a2[None, :]
+        adiff = jnp.where(adiff >= jnp.pi, adiff - 2 * jnp.pi, adiff)
+        adiff = jnp.where(adiff < -jnp.pi, adiff + 2 * jnp.pi, adiff)
+        bins = (adiff / a_res).astype(jnp.int32) + orig  # (P,P)
+        onehot = jax.nn.one_hot(bins, n_angle_bins, dtype=jnp.bool_)  # (P,P,A)
+        voted = onehot & eq[:, :, None]
+        per_k1 = jnp.any(voted, axis=1)  # (P,A): k1 votes bin at most once
+        hist = jnp.sum(per_k1.astype(jnp.int32), axis=0)  # (A,)
+        best_bin = jnp.argmax(hist).astype(jnp.int32)
+        best_cnt = hist[best_bin] + 1  # + the root pair itself
+        ok = (inter >= min_match_threshold) & m1.valid[i] & m2.valid[j]
+        return jnp.where(ok, best_cnt, 0), best_bin
+
+    counts, bins = jax.vmap(
+        lambda i: jax.vmap(lambda j: one_pair(i, j))(jnp.arange(P))
+    )(probes)
+    return counts, bins
+
+
+def extract_correspondences(m1, m2, i, j, bin_idx, *, a_res, n_angle_bins):
+    """Pull the correspondence set of the winning (i, j, rotation-bin).
+    Host numpy (runs once per detected loop)."""
+    P = m1.points.shape[0]
+    d1 = np.asarray(m1.dist_q[i])
+    a1 = np.asarray(m1.ang[i])
+    d2 = np.asarray(m2.dist_q[j])
+    a2 = np.asarray(m2.ang[j])
+    v1 = np.asarray(m1.valid)
+    v2 = np.asarray(m2.valid)
+    orig = n_angle_bins // 2
+    p1 = [np.asarray(m1.points[i])]
+    p2 = [np.asarray(m2.points[j])]
+    used = {int(i)}
+    for k1 in range(P):
+        if not v1[k1] or k1 == i or k1 in used:
+            continue
+        for k2 in range(P):
+            if not v2[k2] or k2 == j:
+                continue
+            if d1[k1] != d2[k2]:
+                continue
+            ad = a1[k1] - a2[k2]
+            if ad >= np.pi:
+                ad -= 2 * np.pi
+            elif ad < -np.pi:
+                ad += 2 * np.pi
+            if int(ad / a_res) + orig == bin_idx:
+                p1.append(np.asarray(m1.points[k1]))
+                p2.append(np.asarray(m2.points[k2]))
+                used.add(k1)
+                break
+    return np.asarray(p1), np.asarray(p2)
+
+
+def kabsch_2d(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Closed-form planar T with p1 ~= T @ p2 (least squares).  The exact
+    solution of the reference's ICP_solve_by_opt objective."""
+    a = p2[:, :2]
+    b = p1[:, :2]
+    mu_a = a.mean(0)
+    mu_b = b.mean(0)
+    H = (a - mu_a).T @ (b - mu_b)
+    U, _, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R2 = Vt.T @ np.diag([1.0, d]) @ U.T
+    t2 = mu_b - R2 @ mu_a
+    T = np.eye(4)
+    T[:2, :2] = R2
+    T[:2, 3] = t2
+    return T
+
+
+def verify_loop_overlap(scan1_pts, scan2_pts, T12, resolution, rate):
+    """Honest scan-overlap verification.  The reference short-circuits this
+    check to ``true`` (keyframe_manager.cpp:52-54); enable via
+    Params.verify_loop_rate handling in the keyframe manager."""
+    if len(scan1_pts) == 0 or len(scan2_pts) == 0:
+        return False
+    q = (T12[:2, :2] @ np.asarray(scan2_pts)[:, :2].T).T + T12[:2, 3]
+    cells1 = set(map(tuple, np.floor(np.asarray(scan1_pts)[:, :2] / resolution).astype(int)))
+    cells2 = list(map(tuple, np.floor(q / resolution).astype(int)))
+    if not cells2:
+        return False
+    hit = sum(1 for c in cells2 if c in cells1)
+    return hit / len(cells2) >= rate

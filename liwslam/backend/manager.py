@@ -1,0 +1,304 @@
+"""Keyframe manager: the asynchronous mapping back end.
+
+Capability parity with ``keyframe_manager``
+(``src/trajectory/keyframe_manager.{h,cpp}``): receives keyframes from the
+front end, maintains sequential edges from tracking deltas, spawns
+corner-constellation descriptor maps, detects loops, solves the pose graph
+on a cadence (only when a loop is pending and enough time has passed —
+keyframe_manager.cpp:839-848), and publishes the ``modify_delta_tf``
+correction that re-bases the live front-end output
+(keyframe_manager.cpp:468-473).
+
+Host-side orchestration (this runs at keyframe rate, ~1 Hz); the heavy
+kernels — descriptor pair scoring and the pose-graph solve — are jitted
+device programs.  Cadence uses *data time*, not wall time, so offline runs
+are deterministic and replayable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from liwslam.backend import loop as loop_mod
+from liwslam.backend import posegraph as pg
+from liwslam.core import geometry as geo
+
+
+@dataclass
+class Keyframe:
+    t_us: int
+    T_tracking: np.ndarray  # (4,4) front-end pose (IMU frame)
+    p: np.ndarray  # (3,) corrected pose (optimized by the pose graph)
+    q: np.ndarray  # (3,)
+    is_laser: bool
+    corners: np.ndarray  # (k,3) accumulated world-frame corners
+    scan_lines: tuple  # (p1 (l,3), p2 (l,3)) laser-frame lines
+
+
+class KeyframeManager:
+    def __init__(self, params, dtype=jnp.float32):
+        self.params = params
+        self.dtype = dtype
+        self.T_iw = params.mat_T_imu_to_wheel()
+        self.keyframes: list[Keyframe] = []
+        self.map_features: list = []  # per keyframe (None for non-laser)
+        self.seq_edges: list = []  # (i, j, tf12 (4,4))
+        self.loop_edges: list = []
+        self.modify_delta_tf = np.eye(4)
+        self.last_solve_t_us = -(10**15)
+        self.has_loop_pending = False
+        self.pg_consts = pg.make_pg_consts(params, dtype)
+        self._compiled = {}
+        self.loops_found: list = []  # (i_new, i_old, tf12) for diagnostics
+
+    # ------------------------------------------------------------------
+
+    def _score_fn(self, P):
+        key = ("score", P)
+        if key not in self._compiled:
+            prm = self.params
+
+            @jax.jit
+            def score(m1, m2, probes):
+                return loop_mod.score_pairs(
+                    m1,
+                    m2,
+                    probes,
+                    a_res=prm.a_res,
+                    n_angle_bins=prm.n_angle_bins,
+                    min_match_threshold=prm.laser_loop_min_match_threshold,
+                )
+
+            self._compiled[key] = score
+        return self._compiled[key]
+
+    def _solve_fn(self, K, E):
+        key = ("solve", K, E)
+        if key not in self._compiled:
+            consts = self.pg_consts
+            if K <= 256:
+                fn = jax.jit(lambda g: pg.solve_dense(g, consts, max_iters=30))
+            else:
+                fn = jax.jit(lambda g: pg.solve_pcg(g, consts, gn_iters=20, cg_iters=60))
+            self._compiled[key] = fn
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, t_us, p, q, corners, scan_lines, is_laser=True):
+        """do_add_keyframe (keyframe_manager.cpp:418-482)."""
+        prm = self.params
+        T_track = np.asarray(geo.make_tf(jnp.asarray(p), jnp.asarray(q)), np.float64)
+        T_corr = self.modify_delta_tf @ T_track
+        pc, qc = geo.log_SE3(jnp.asarray(T_corr, self.dtype))
+        kf = Keyframe(
+            t_us=int(t_us),
+            T_tracking=T_track,
+            p=np.asarray(pc, np.float64),
+            q=np.asarray(qc, np.float64),
+            is_laser=is_laser,
+            corners=np.asarray(corners).reshape(-1, 3),
+            scan_lines=scan_lines,
+        )
+        self.keyframes.append(kf)
+        k = len(self.keyframes) - 1
+
+        if k > 0:
+            tf12 = (
+                np.linalg.inv(self.keyframes[k - 1].T_tracking) @ T_track
+            )
+            self.seq_edges.append((k - 1, k, tf12))
+
+        if is_laser:
+            self.map_features.append(self._spawn_map_feature(k))
+            loop = self._laser_loop_detect()
+            if loop is not None:
+                self.loop_edges.append(loop)
+                self.loops_found.append(loop)
+                self.has_loop_pending = True
+        else:
+            self.map_features.append(None)
+
+        if self._is_time_to_solve(t_us):
+            self.last_solve_t_us = int(t_us)
+            self.solve()
+            T_new = np.asarray(
+                geo.make_tf(
+                    jnp.asarray(self.keyframes[k].p), jnp.asarray(self.keyframes[k].q)
+                ),
+                np.float64,
+            )
+            self.modify_delta_tf = T_new @ np.linalg.inv(T_track)
+            self.has_loop_pending = False
+        return kf
+
+    def _is_time_to_solve(self, t_us):
+        return (
+            self.has_loop_pending
+            and (t_us - self.last_solve_t_us) * 1e-6
+            > self.params.pose_graph_solve_interval_s
+        )
+
+    # ------------------------------------------------------------------
+
+    def _spawn_map_feature(self, k):
+        """spawn_laser_map_feature (keyframe_manager.cpp:898-925): corner
+        sets of the last submap_count laser keyframes."""
+        prm = self.params
+        corner_sets = []
+        count = 0
+        newest = None
+        for i in range(len(self.keyframes) - 1, -1, -1):
+            if not self.keyframes[i].is_laser:
+                continue
+            corner_sets.append(self.keyframes[i].corners)
+            if newest is None:
+                newest = i
+            count += 1
+            if count == prm.submap_count:
+                break
+        return loop_mod.build_map_feature(
+            corner_sets,
+            self.keyframes[newest].T_tracking,
+            newest,
+            d_res=prm.d_res,
+            capacity=prm.map_corner_capacity,
+            n_dist_bins=prm.n_dist_bins,
+            seed=newest,
+        )
+
+    def _laser_loop_detect(self):
+        """laser_loop_detect (keyframe_manager.cpp:642-712)."""
+        prm = self.params
+        feats = self.map_features
+        if len(feats) < prm.loop_detect_min_interval:
+            return None
+        m1 = feats[-1]
+        if m1 is None or int(np.asarray(m1.valid).sum()) < prm.laser_loop_min_match_threshold:
+            return None
+        stride = prm.submap_count // 3 + 1
+        n_probe = min(prm.loop_probe_count, int(np.asarray(m1.valid).sum()))
+        probes = jnp.arange(n_probe, dtype=jnp.int32)  # points pre-shuffled
+        score = self._score_fn(prm.map_corner_capacity)
+        for i in range(0, len(feats) - prm.loop_detect_min_interval, stride):
+            m2 = feats[i]
+            if m2 is None:
+                continue
+            if int(np.asarray(m2.valid).sum()) < prm.laser_loop_min_match_threshold:
+                continue
+            dorigin = np.linalg.inv(np.asarray(m1.origin)) @ np.asarray(m2.origin)
+            if np.linalg.norm(dorigin[:3, 3]) > prm.loop_max_dis:
+                continue
+            counts, bins = score(m1, m2, probes)
+            counts = np.asarray(counts)
+            best = int(counts.max())
+            if best <= prm.laser_loop_min_match_threshold:
+                continue
+            pi, pj = np.unravel_index(np.argmax(counts), counts.shape)
+            c1 = int(probes[pi])
+            p1, p2 = loop_mod.extract_correspondences(
+                m1,
+                m2,
+                c1,
+                int(pj),
+                int(np.asarray(bins)[pi, pj]),
+                a_res=prm.a_res,
+                n_angle_bins=prm.n_angle_bins,
+            )
+            # ICP in the wheel-local frames (keyframe_manager.cpp:670-686)
+            i1 = m1.index
+            i2 = m2.index
+            tf1 = self.keyframes[i1].T_tracking
+            tf2 = self.keyframes[i2].T_tracking
+            inv1 = np.linalg.inv(tf1 @ self.T_iw)
+            inv2 = np.linalg.inv(tf2 @ self.T_iw)
+            P1A = (inv1[:3, :3] @ p1.T).T + inv1[:3, 3]
+            P2B = (inv2[:3, :3] @ p2.T).T + inv2[:3, 3]
+            P1A[:, 2] = 0
+            P2B[:, 2] = 0
+            w_T12 = loop_mod.kabsch_2d(P1A, P2B)
+            i_t12 = self.T_iw @ w_T12 @ np.linalg.inv(self.T_iw)
+            # drift gate
+            track_t12 = np.linalg.inv(tf1) @ tf2
+            err = np.linalg.inv(i_t12) @ track_t12
+            dp, dq = geo.log_SE3(jnp.asarray(err, self.dtype))
+            if (
+                float(jnp.linalg.norm(dp)) > prm.loop_max_tf_p
+                or float(jnp.linalg.norm(dq)) > prm.loop_max_tf_q
+            ):
+                continue
+            return (i1, i2, i_t12)
+        return None
+
+    # ------------------------------------------------------------------
+
+    def _build_graph(self):
+        prm = self.params
+        K = len(self.keyframes)
+        E = len(self.seq_edges) + len(self.loop_edges)
+        Kc = max(64, 1 << (K - 1).bit_length())
+        Ec = max(128, 1 << (E - 1).bit_length())
+        g = pg.empty_graph(Kc, Ec, self.dtype)
+        p = np.zeros((Kc, 3), np.float32)
+        q = np.zeros((Kc, 3), np.float32)
+        for i, kf in enumerate(self.keyframes):
+            p[i] = kf.p
+            q[i] = kf.q
+        ei = np.zeros(Ec, np.int32)
+        ej = np.zeros(Ec, np.int32)
+        etf = np.tile(np.eye(4, dtype=np.float32), (Ec, 1, 1))
+        ew = np.zeros(Ec, np.float32)
+        for n, (i, j, tf) in enumerate(self.seq_edges):
+            ei[n], ej[n], etf[n], ew[n] = i, j, tf, 1.0
+        off = len(self.seq_edges)
+        for n, (i, j, tf) in enumerate(self.loop_edges):
+            ei[off + n], ej[off + n], etf[off + n] = i, j, tf
+            ew[off + n] = prm.loop_edge_k
+        return g._replace(
+            p=jnp.asarray(p),
+            q=jnp.asarray(q),
+            node_valid=jnp.arange(Kc) < K,
+            e_i=jnp.asarray(ei),
+            e_j=jnp.asarray(ej),
+            e_tf=jnp.asarray(etf),
+            e_weight=jnp.asarray(ew),
+            e_valid=jnp.arange(Ec) < E,
+            n_nodes=jnp.asarray(K, jnp.int32),
+            n_edges=jnp.asarray(E, jnp.int32),
+        )
+
+    def solve(self):
+        """Pose-graph solve (keyframe_manager.cpp:722-838)."""
+        g = self._build_graph()
+        K = g.p.shape[0]
+        E = g.e_i.shape[0]
+        g_out, cost = self._solve_fn(K, E)(g)
+        p = np.asarray(g_out.p)
+        q = np.asarray(g_out.q)
+        for i, kf in enumerate(self.keyframes):
+            kf.p = p[i].astype(np.float64)
+            kf.q = q[i].astype(np.float64)
+        return float(cost)
+
+    # ------------------------------------------------------------------
+
+    def trajectory(self):
+        """back_end.txt equivalent: corrected keyframe poses (IMU frame)."""
+        if not self.keyframes:
+            return np.zeros(0, np.int64), np.zeros((0, 4, 4))
+        ts = np.asarray([kf.t_us for kf in self.keyframes])
+        Ts = np.stack(
+            [
+                np.asarray(geo.make_tf(jnp.asarray(kf.p), jnp.asarray(kf.q)))
+                for kf in self.keyframes
+            ]
+        )
+        return ts, Ts
+
+    def corrected_live_pose(self, T_tracking):
+        """update_other_frame's live output (keyframe_manager.cpp:407-417)."""
+        return self.modify_delta_tf @ np.asarray(T_tracking)

@@ -26,6 +26,16 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def safe_norm(v, axis=-1, eps=_EPS, keepdims=False):
+    """sqrt(max(sum v^2, eps^2)) — finite value AND finite gradient at 0.
+
+    jnp.linalg.norm has a NaN derivative at exactly zero, which poisons
+    jacfwd through residuals even on masked rows (NaN * 0 == NaN).  The
+    clamp zeroes the gradient inside the eps-ball instead."""
+    s = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(s, eps * eps))
+
+
 def skew(w):
     """Cross-product matrix: skew(w) @ v == cross(w, v) (convert::cross_matrix)."""
     w = jnp.asarray(w)
@@ -110,7 +120,7 @@ def log_SO3(R):
     """
     q = quat_from_mat(R)
     qw, qv = q[..., 0], q[..., 1:]
-    sin_half = jnp.linalg.norm(qv, axis=-1)
+    sin_half = safe_norm(qv)
     angle = 2.0 * jnp.arctan2(sin_half, qw)
     small = sin_half < _EPS
     scale = jnp.where(small, 2.0, angle / jnp.maximum(sin_half, _EPS))
@@ -213,10 +223,10 @@ def dis_from_line(p, p1, p2):
     (e_laser::dis_from_line, common.h:86-95).  Safe for degenerate lines."""
     p = jnp.asarray(p)
     d = p2 - p1
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    d = d / safe_norm(d, keepdims=True)
     v = p - p2
     perp = v - jnp.sum(d * v, -1, keepdims=True) * d
-    return jnp.linalg.norm(perp, axis=-1)
+    return safe_norm(perp)
 
 
 def angle_wrap(a):

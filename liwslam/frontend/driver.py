@@ -1,0 +1,578 @@
+"""Host orchestration: stream packing, initialization, chunked tracking.
+
+Reference counterparts:
+
+- dispatch_queue (``src/trajectory/dispatch.h:192-241``): strict global
+  time ordering of sensor messages.  For offline streams the total order is
+  a pure function of timestamps, so the host pre-merges every IMU/wheel
+  sample into the laser frame interval it precedes (same result as the
+  reference's run-time merge, but vectorizable and replayable).
+- ``trajectory::check_and_processing_initialize``
+  (``trajectory.cpp:381-487``): the 10-frame bootstrap window with its
+  ≥2-matched-lines gate and full reset on failure — host control flow
+  driving jitted device pieces.
+- the TRACKING loop: packed chunks of frames run as one
+  ``lax.scan`` program on device (liwslam.frontend.pipeline.run_chunk).
+
+Known deviation: after initialization the reference seeds
+``last_keyframe_tf`` with the IMU-frame pose (trajectory.cpp:484) although
+keyframe deltas are measured between LASER-frame poses; we use the laser
+pose consistently (affects only the timing of the first keyframe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from liwslam.core import geometry as geo
+from liwslam.frontend import matching as mm
+from liwslam.frontend import pipeline as pl
+from liwslam.frontend import preintegration as pre
+from liwslam.frontend import scan as scan_mod
+from liwslam.solve import factors as fac
+from liwslam.solve import gn
+
+
+@dataclass
+class FrontendResult:
+    """Per-frame front-end outputs (the TUM 'fornt_end.txt' equivalent)."""
+
+    t_us: np.ndarray  # (F,)
+    p: np.ndarray  # (F,3) IMU-frame world position
+    q: np.ndarray  # (F,3)
+    v: np.ndarray  # (F,3)
+    bs: np.ndarray  # (F,6)
+    is_keyframe: np.ndarray  # (F,)
+    n_match: np.ndarray  # (F,)
+    n_lines: np.ndarray  # (F,)
+    kf_corners: list  # per keyframe: (k,3) world-frame corner arrays
+    kf_indices: np.ndarray  # frame indices of keyframes
+    kf_scans: list  # per keyframe: (p1, p2) line arrays (laser frame)
+
+    def T_w_imu(self):
+        return np.asarray(geo.make_tf(jnp.asarray(self.p), jnp.asarray(self.q)))
+
+    def tum_poses(self, T_imu_to_wheel):
+        """Wheel/base-frame TUM poses (trajectory.cpp:549-559)."""
+        return self.T_w_imu() @ np.asarray(T_imu_to_wheel)
+
+
+def _pad(a, n, fill=0):
+    a = np.asarray(a)
+    out = np.full((n,) + a.shape[1:], fill, a.dtype)
+    k = min(len(a), n)
+    out[:k] = a[:k]
+    return out, k
+
+
+def clean_scan(points, valid, min_range=0.1, min_spacing=0.01):
+    """convert::laser_to_point_times filters (common.cpp:4-40): drop
+    NaN/inf/short returns and points closer than 1 cm to their predecessor."""
+    pts = np.asarray(points, np.float32)
+    ok = np.asarray(valid, bool) & np.isfinite(pts).all(-1)
+    ok &= np.linalg.norm(pts[:, :2], axis=-1) >= min_range
+    # spacing filter against the previous *kept* point — vector approx:
+    # against the previous raw point (differs only on runs of near-dups)
+    d = np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=-1)
+    ok[1:] &= (d >= min_spacing) | ~ok[:-1]
+    return pts, ok
+
+
+class Frontend:
+    """Streaming front end: feed sensor streams, get trajectory out."""
+
+    def __init__(self, params, dtype=jnp.float32):
+        self.params = params
+        self.dtype = dtype
+        self.consts = fac.make_consts(params, dtype)
+        self.scfg = pl.make_static_cfg(params)
+        self.dcfg = pl.make_dyn_cfg(params, dtype)
+        self._compiled = {}
+        from liwslam.utils.record import Record
+
+        # per-stage timing stats (reference `record`, record.h:19-93;
+        # the trajectory's recorder instruments spawn_scan/match/solve —
+        # those stages are fused on-device here, so we record at the
+        # host-visible granularity: packing, init, per-chunk device time)
+        self.recorder = Record("frontend")
+
+    # -- jitted pieces ------------------------------------------------------
+
+    def _step_fn(self):
+        if "step" not in self._compiled:
+            consts, dcfg, scfg = self.consts, self.dcfg, self.scfg
+
+            @jax.jit
+            def step(state, inp):
+                return pl.tracking_step(state, inp, consts, dcfg, scfg)
+
+            self._compiled["step"] = step
+        return self._compiled["step"]
+
+    def _chunk_fn(self):
+        if "chunk" not in self._compiled:
+            consts, dcfg, scfg = self.consts, self.dcfg, self.scfg
+
+            @jax.jit
+            def chunk(state, inputs):
+                return pl.run_chunk(state, inputs, consts, dcfg, scfg)
+
+            self._compiled["chunk"] = chunk
+        return self._compiled["chunk"]
+
+    def _extract_fn(self):
+        if "extract" not in self._compiled:
+            dcfg, scfg = self.dcfg, self.scfg
+
+            @jax.jit
+            def extract(pts, valid):
+                return scan_mod.extract_features(
+                    pts,
+                    valid,
+                    continuous_threshold=dcfg.line_continuous_threshold,
+                    min_len=dcfg.line_min_len,
+                    max_dis=dcfg.line_max_dis,
+                    tolerance_angle_rad=dcfg.tolerance_angle_rad,
+                    resolution=dcfg.resolution,
+                    max_lines=scfg.max_lines,
+                    max_corners=scfg.max_corners,
+                )
+
+            self._compiled["extract"] = extract
+        return self._compiled["extract"]
+
+    def _preint_fn(self):
+        """Preintegrate one inter-frame interval and produce results."""
+        if "preint" not in self._compiled:
+            dcfg = self.dcfg
+
+            @jax.jit
+            def preint(imu_c, wheel_c, inp: pl.FrameInput, new_ba, new_bw):
+                imu_c = pre.imu_add_samples(
+                    imu_c, inp.imu_acc, inp.imu_gyro, inp.imu_t_us, inp.imu_mask, dcfg.imu_Q
+                )
+                imu_c = pre.imu_update_only_t(imu_c, inp.dt_us, dcfg.imu_Q)
+                imu_res = pre.imu_result(imu_c)
+                wheel_c = pre.wheel_add_samples(
+                    wheel_c, inp.wheel_pose, inp.wheel_t_us, inp.wheel_mask
+                )
+                wheel_c = pre.wheel_update_only_t(wheel_c, inp.dt_us)
+                wheel_res = pre.wheel_result(wheel_c, dcfg.wheel_sigma)
+                # two continuations: 'keep' (frame skipped — integrals keep
+                # accumulating, reference never resets on skipped frames)
+                # and 'next' (frame accepted — integrals reset)
+                imu_keep = pre.imu_rebase(imu_c, inp.dt_us)
+                wheel_keep = pre.wheel_rebase(wheel_c, inp.dt_us)
+                imu_next = pre.imu_reset(0, new_ba, new_bw)._replace(
+                    last_acc=imu_c.last_acc,
+                    last_gyro=imu_c.last_gyro,
+                    last_t_us=imu_c.last_t_us - inp.dt_us,
+                    has_sample=imu_c.has_sample,
+                )
+                wheel_next = pre.wheel_rebase(
+                    pre.wheel_reset(wheel_c), inp.dt_us
+                )
+                return (imu_keep, wheel_keep), (imu_next, wheel_next), imu_res, wheel_res
+
+            self._compiled["preint"] = preint
+        return self._compiled["preint"]
+
+    def _match_fn(self):
+        if "match" not in self._compiled:
+            consts, dcfg = self.consts, self.dcfg
+
+            @jax.jit
+            def match(sub, feats, p, q):
+                return mm.match_lines(
+                    sub, feats, p, q, consts.T_imu_to_laser, resolution=dcfg.resolution
+                )
+
+            self._compiled["match"] = match
+        return self._compiled["match"]
+
+    # -- stream packing ------------------------------------------------------
+
+    def pack_frames(self, streams, frame_sel=None):
+        """Slice IMU/wheel streams into per-laser-frame FrameInputs (numpy).
+
+        Returns a list of FrameInput (numpy leaves) for laser frames
+        [1..F-1] relative to their predecessors, plus frame timestamps."""
+        prm = self.params
+        # reproduce the dispatch layer's per-sensor monotonicity filtering
+        # and strict global time order (dispatch.h:110-241) before slicing
+        from liwslam.io import dispatch as dp
+
+        order_s, order_i = dp.merge(
+            [
+                np.asarray(streams.imu_t_us) * 1e-6,
+                np.asarray(streams.wheel_t_us) * 1e-6,
+                np.asarray(streams.laser_t_us) * 1e-6,
+            ],
+            watermark=1,
+            drain=True,
+        )
+        imu_keep = np.sort(order_i[order_s == 0])
+        wheel_keep = np.sort(order_i[order_s == 1])
+        laser_keep = np.sort(order_i[order_s == 2])
+
+        lt = np.asarray(streams.laser_t_us)[laser_keep]
+        laser_orig = laser_keep
+        if frame_sel is not None:
+            lt = lt[frame_sel]
+            laser_orig = laser_keep[frame_sel]
+        F = len(lt)
+        it = np.asarray(streams.imu_t_us)[imu_keep]
+        wt = np.asarray(streams.wheel_t_us)[wheel_keep]
+        imu_acc_f = np.asarray(streams.imu_acc)[imu_keep]
+        imu_gyro_f = np.asarray(streams.imu_gyro)[imu_keep]
+        wheel_pose_f = np.asarray(streams.wheel_pose)[wheel_keep]
+        frames = []
+        for k in range(F):
+            t0 = lt[k - 1] if k > 0 else 0
+            t1 = lt[k]
+            si = (it > t0) & (it <= t1)
+            sw = (wt > t0) & (wt <= t1)
+            acc, ni = _pad(imu_acc_f[si], prm.max_imu_per_frame)
+            gyr, _ = _pad(imu_gyro_f[si], prm.max_imu_per_frame)
+            its, _ = _pad((it[si] - t0).astype(np.int32), prm.max_imu_per_frame)
+            im = np.arange(prm.max_imu_per_frame) < ni
+            wp, nw = _pad(wheel_pose_f[sw], prm.max_wheel_per_frame)
+            wp[nw:] = np.eye(4, dtype=np.float32)
+            wts, _ = _pad((wt[sw] - t0).astype(np.int32), prm.max_wheel_per_frame)
+            wm = np.arange(prm.max_wheel_per_frame) < nw
+            ko = laser_orig[k]
+            pts, ok = clean_scan(streams.laser_points[ko], streams.laser_valid[ko])
+            pts, npts = _pad(pts, prm.max_points)
+            okp, _ = _pad(ok, prm.max_points)
+            rayt, _ = _pad(streams.laser_times_rel[ko], prm.max_points)
+            frames.append(
+                pl.FrameInput(
+                    dt_us=np.int32(t1 - t0),
+                    imu_acc=acc,
+                    imu_gyro=gyr,
+                    imu_t_us=its,
+                    imu_mask=im,
+                    wheel_pose=wp,
+                    wheel_t_us=wts,
+                    wheel_mask=wm,
+                    points=pts,
+                    point_valid=okp,
+                    ray_t=rayt,
+                )
+            )
+        return frames, lt
+
+    # -- initialization ------------------------------------------------------
+
+    def initialize(self, frames, lt):
+        """Run the INITIALIZING state machine.  Returns
+        (TrackState, first_tracking_frame_index, init_window_result) or
+        raises if the stream ends before initialization succeeds."""
+        prm = self.params
+        dtype = self.dtype
+        W = prm.slide_window_size
+        preint = self._preint_fn()
+        extract = self._extract_fn()
+        match_fn = self._match_fn()
+
+        p0, q0 = geo.log_SE3(geo.tf_inv(jnp.asarray(prm.mat_T_imu_to_wheel(), dtype)))
+        k = 0
+        n_frames = len(frames)
+        while True:
+            # fresh session state (init_current_status, trajectory.cpp:39-68)
+            imu_c = pre.imu_reset(0, jnp.zeros(3, dtype), jnp.zeros(3, dtype))
+            wheel_c = pre.wheel_reset(0, dtype)
+            cur_p, cur_q = jnp.asarray(p0), jnp.asarray(q0)
+            window = []  # per accepted frame dicts
+            front_sub = None
+            started = False
+            imu_seen = 0
+            wheel_seen = 0
+            while k < n_frames:
+                inp = jax.tree_util.tree_map(jnp.asarray, frames[k])
+                imu_seen += int(np.asarray(frames[k].imu_mask).sum())
+                wheel_seen += int(np.asarray(frames[k].wheel_mask).sum())
+                # feed samples even for skipped frames (preint keeps running)
+                keep, nxt, imu_res, wheel_res = preint(
+                    imu_c, wheel_c, inp, cur_q * 0, cur_q * 0
+                )
+                if imu_seen < 2 or wheel_seen < 2:
+                    imu_c, wheel_c = keep
+                    k += 1
+                    continue
+                if not started:
+                    # static-start gate (trajectory.cpp:163-165): wheel
+                    # delta conjugated into the laser frame
+                    dT = np.asarray(wheel_res.delta_T)
+                    Tlw = np.linalg.inv(prm.mat_T_imu_to_laser()) @ prm.mat_T_imu_to_wheel()
+                    dl = Tlw @ dT @ np.linalg.inv(Tlw)
+                    dp, dq = geo.log_SE3(jnp.asarray(dl, dtype))
+                    if (
+                        float(jnp.linalg.norm(dp)) < prm.p_motion_threshold
+                        and float(jnp.linalg.norm(dq)) < prm.q_motion_threshold
+                    ):
+                        imu_c, wheel_c = keep
+                        k += 1
+                        continue
+                    started = True
+                # frame accepted: close the preint interval
+                imu_c, wheel_c = nxt
+                delta_imu = (
+                    prm.mat_T_imu_to_wheel()
+                    @ np.asarray(wheel_res.delta_T, np.float64)
+                    @ np.linalg.inv(prm.mat_T_imu_to_wheel())
+                )
+                T_new = np.asarray(
+                    geo.make_tf(cur_p, cur_q), np.float64
+                ) @ delta_imu
+                cur_p, cur_q = geo.log_SE3(jnp.asarray(T_new, dtype))
+                feats = extract(inp.points, inp.point_valid)
+                if front_sub is None:
+                    front_sub = mm.submap_from_scan(
+                        feats, cur_p, cur_q, prm.ref_capacity
+                    )
+                    match = None
+                else:
+                    match = match_fn(front_sub, feats, cur_p, cur_q)
+                    if int(match.n) < 2:
+                        # reset everything (trajectory.cpp:412-418)
+                        k += 1
+                        break
+                window.append(
+                    dict(
+                        t_us=int(lt[k]),
+                        p=cur_p,
+                        q=cur_q,
+                        imu=imu_res,
+                        wheel=wheel_res,
+                        feats=feats,
+                        match=match,
+                    )
+                )
+                k += 1
+                if len(window) == W:
+                    track, st_opt = self._finish_init(window)
+                    times = np.asarray([f["t_us"] for f in window])
+                    return track, k, st_opt, times
+            else:
+                raise RuntimeError(
+                    f"stream ended during initialization (frame {k}/{n_frames})"
+                )
+
+    def _finish_init(self, window):
+        """init_solve + submap rebuild + marginalization -> TrackState."""
+        prm = self.params
+        dtype = self.dtype
+        W = len(window)
+        M = prm.max_lines
+
+        st = fac.WindowState(
+            p=jnp.stack([f["p"] for f in window]),
+            q=jnp.stack([f["q"] for f in window]),
+            v=jnp.zeros((W, 3), dtype),
+            bs=jnp.zeros((W, 6), dtype),
+        )
+        eye15 = jnp.eye(15, dtype=dtype)
+        Ms = M * W
+        l1p1 = np.zeros((Ms, 3), np.float32)
+        l1p2 = np.zeros((Ms, 3), np.float32)
+        l2p1 = np.zeros((Ms, 3), np.float32)
+        l2p2 = np.zeros((Ms, 3), np.float32)
+        j_idx = np.zeros(Ms, np.int32)
+        lvalid = np.zeros(Ms, bool)
+        for i, f in enumerate(window):
+            if f["match"] is None:
+                continue
+            sl = slice(i * M, (i + 1) * M)
+            l1p1[sl] = np.asarray(f["match"].ref_p1)
+            l1p2[sl] = np.asarray(f["match"].ref_p2)
+            l2p1[sl] = np.asarray(f["match"].new_p1)
+            l2p2[sl] = np.asarray(f["match"].new_p2)
+            j_idx[sl] = i
+            lvalid[sl] = np.asarray(f["match"].valid)
+        data = fac.FactorData(
+            imu_X=jnp.stack(
+                [window[i]["imu"].X if i > 0 else jnp.zeros(15, dtype) for i in range(W)]
+            ),
+            imu_J=jnp.stack(
+                [window[i]["imu"].J if i > 0 else eye15 for i in range(W)]
+            ),
+            imu_sqrtP=jnp.stack(
+                [
+                    window[i]["imu"].sqrt_inverse_P if i > 0 else eye15
+                    for i in range(W)
+                ]
+            ),
+            imu_Dt=jnp.stack(
+                [window[i]["imu"].Dt if i > 0 else jnp.zeros((), dtype) for i in range(W)]
+            ),
+            imu_valid=jnp.asarray([i > 0 for i in range(W)]),
+            wheel_dT=jnp.stack(
+                [
+                    window[i]["wheel"].delta_T if i > 0 else jnp.eye(4, dtype=dtype)
+                    for i in range(W)
+                ]
+            ),
+            wheel_sqrt=jnp.stack(
+                [
+                    window[i]["wheel"].sqrt_inverse_P
+                    if i > 0
+                    else jnp.eye(3, dtype=dtype)
+                    for i in range(W)
+                ]
+            ),
+            wheel_valid=jnp.asarray([i > 0 for i in range(W)]),
+            laser_l1p1=jnp.asarray(l1p1),
+            laser_l1p2=jnp.asarray(l1p2),
+            laser_l2p1=jnp.asarray(l2p1),
+            laser_l2p2=jnp.asarray(l2p2),
+            laser_i_idx=jnp.zeros(Ms, jnp.int32),  # vs frame 0 (init_solve)
+            laser_j_idx=jnp.asarray(j_idx),
+            laser_ref_p=jnp.zeros((Ms, 3), dtype),
+            laser_ref_q=jnp.zeros((Ms, 3), dtype),
+            laser_valid=jnp.asarray(lvalid),
+            ground_weight=jnp.asarray(np.sqrt(W), dtype),
+            frame_valid=jnp.ones(W, bool),
+            prior_J=jnp.zeros((15, 15), dtype),
+            prior_X=jnp.zeros(15, dtype),
+            prior_res=jnp.zeros(15, dtype),
+            prior_idx=jnp.asarray(0, jnp.int32),
+            prior_valid=jnp.asarray(False),
+        )
+        consts = self.consts
+
+        res_fn = lambda x: fac.stack_residuals(
+            fac.WindowState.from_flat(x, W), data, consts
+        )
+        x_opt, cost, _ = jax.jit(
+            lambda x0: gn.lm_solve(
+                res_fn,
+                x0,
+                jnp.ones(W * 15, dtype),
+                gn.LMConfig(max_iters=self.params.init_solver_max_iterations),
+                wrap_fn=lambda x: pl._wrap_q(x, W, dtype),
+            )
+        )(st.flat())
+        st_opt = fac.WindowState.from_flat(x_opt, W)
+
+        # rebuild submaps from optimized poses (trajectory.cpp:466-478)
+        pair = mm.empty_pair(prm.ref_capacity, dtype)
+        add = jax.jit(
+            lambda pair, feats, p, q: mm.add_scan(
+                pair,
+                feats,
+                p,
+                q,
+                consts.T_imu_to_laser,
+                ref_n_accumulation=prm.ref_n_accumulation,
+                motion_filter_p=self.dcfg.ref_motion_filter_p,
+                motion_filter_q=self.dcfg.ref_motion_filter_q,
+            )
+        )
+        for i, f in enumerate(window):
+            pair = add(pair, f["feats"], st_opt.p[i], st_opt.q[i])
+
+        # marginalization seeds the prior (trajectory.cpp:479); the laser
+        # ref side becomes the frozen optimized frame-0 pose
+        data_m = data._replace(
+            laser_i_idx=-jnp.ones(Ms, jnp.int32),
+            laser_ref_p=jnp.tile(st_opt.p[0][None], (Ms, 1)),
+            laser_ref_q=jnp.tile(st_opt.q[0][None], (Ms, 1)),
+        )
+        res_fn_m = lambda x: fac.stack_residuals(
+            fac.WindowState.from_flat(x, W), data_m, consts
+        )
+        lin_J, lin_res, lin_X = jax.jit(
+            lambda x: gn.marginalize(res_fn_m, x, keep=15)
+        )(x_opt)
+
+        track = pl.init_track_state(
+            st_opt.p[-1], st_opt.q[-1], st_opt.v[-1], st_opt.bs[-1], self.scfg, dtype
+        )
+        track = track._replace(
+            pair=pair,
+            prior_J=lin_J,
+            prior_X=lin_X,
+            prior_res=lin_res,
+            prior_valid=jnp.asarray(not prm.fast_mode),
+            last_keyframe_T=geo.make_tf(st_opt.p[-1], st_opt.q[-1])
+            @ consts.T_imu_to_laser,
+        )
+        return track, st_opt
+
+    # -- full run -------------------------------------------------------------
+
+    def run(self, streams, chunk_size=32) -> FrontendResult:
+        rec = self.recorder
+        rec.begin_record()
+        frames, lt = self.pack_frames(streams)
+        rec.end_record("pack_frames")
+        rec.begin_record()
+        track, k0, st_init, init_times = self.initialize(frames, lt)
+        rec.end_record("initialize")
+        chunk_fn = self._chunk_fn()
+
+        out_t, out_p, out_q, out_v, out_bs = [], [], [], [], []
+        out_kf, out_nm, out_nl = [], [], []
+        kf_corners, kf_indices, kf_scans = [], [], []
+
+        # init window frames are reported too (they're part of fornt_end.txt)
+        out_t.extend(int(t) for t in init_times)
+
+        st_init_n = len(init_times)
+        k = k0
+        F = len(frames)
+        while k < F:
+            n = min(chunk_size, F - k)
+            batch = jax.tree_util.tree_map(
+                lambda *xs: jnp.asarray(np.stack(xs)), *frames[k : k + n]
+            )
+            rec.begin_record()
+            track, outs = chunk_fn(track, batch)
+            outs = jax.tree_util.tree_map(np.asarray, outs)
+            rec.end_record("track_chunk")
+            rec.add_record("frames per chunk", n)
+            rec.add_record(
+                "lines each frame", float(np.mean(outs.n_lines))
+            )
+            rec.add_record(
+                "match line size", float(np.mean(outs.n_match))
+            )
+            for i in range(n):
+                out_t.append(int(lt[k + i]))
+                out_p.append(outs.p[i])
+                out_q.append(outs.q[i])
+                out_v.append(outs.v[i])
+                out_bs.append(outs.bs[i])
+                out_kf.append(bool(outs.is_keyframe[i]))
+                out_nm.append(int(outs.n_match[i]))
+                out_nl.append(int(outs.n_lines[i]))
+                if outs.is_keyframe[i]:
+                    kf_indices.append(st_init_n + len(out_p) - 1)
+                    cv = outs.kf_corner_valid[i]
+                    kf_corners.append(outs.kf_corners[i][cv])
+                    lv = outs.scan_line_valid[i]
+                    kf_scans.append((outs.scan_p1[i][lv], outs.scan_p2[i][lv]))
+            k += n
+
+        # prepend init-window states (optimized by init_solve)
+        init_p = list(np.asarray(st_init.p))
+        init_q = list(np.asarray(st_init.q))
+        return FrontendResult(
+            t_us=np.asarray(out_t),
+            p=np.concatenate([np.stack(init_p), np.stack(out_p)]) if out_p else np.stack(init_p),
+            q=np.concatenate([np.stack(init_q), np.stack(out_q)]) if out_q else np.stack(init_q),
+            v=np.stack(out_v) if out_v else np.zeros((0, 3)),
+            bs=np.stack(out_bs) if out_bs else np.zeros((0, 6)),
+            is_keyframe=np.asarray([False] * st_init_n + out_kf),
+            n_match=np.asarray([0] * st_init_n + out_nm),
+            n_lines=np.asarray([0] * st_init_n + out_nl),
+            kf_corners=kf_corners,
+            kf_indices=np.asarray(kf_indices, np.int64),
+            kf_scans=kf_scans,
+        )

@@ -1,0 +1,123 @@
+"""OpenLORIS-Scene sequence loading (bag-free) + npz interchange.
+
+The reference ingests OpenLORIS rosbags over ROS topics
+(``lvio_2d_node.cpp:10-19``, topics from ``config/office.yaml``: /scan,
+/odom, /d400/imu0).  This loader reads the equivalent streams from plain
+files so no ROS stack is needed:
+
+- ``<seq>/imu.txt``         : ``t ax ay az wx wy wz``   (combined), or
+  ``<seq>/d400_accelerometer.txt`` (``t ax ay az``) +
+  ``<seq>/d400_gyroscope.txt``     (``t wx wy wz``) — merged by
+  interpolating accelerometer onto gyroscope timestamps (what the bag's
+  /d400/imu0 combiner does).
+- ``<seq>/odom.txt``        : ``t x y z qx qy qz qw`` (+ ignored twist cols)
+- ``<seq>/laser.txt``       : per line ``t angle_min angle_increment n r0 r1 ...``
+- or a single ``<seq>.npz`` in the interchange schema below.
+
+All timestamps are rebased to the first message (int64 microseconds).
+Field orders follow the OpenLORIS raw-package text conventions; adjust
+here if a dataset variant differs — everything downstream consumes only
+the ``Streams`` arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from liwslam.sim.world import SimStreams
+
+
+def _to_us(t_s, t0_s):
+    return np.round((np.asarray(t_s) - t0_s) * 1e6).astype(np.int64)
+
+
+def load_sequence(path, max_beams=None) -> SimStreams:
+    if path.endswith(".npz"):
+        return load_npz(path)
+    imu_path = os.path.join(path, "imu.txt")
+    if os.path.exists(imu_path):
+        imu = np.loadtxt(imu_path)
+        imu_t, acc, gyro = imu[:, 0], imu[:, 1:4], imu[:, 4:7]
+    else:
+        a = np.loadtxt(os.path.join(path, "d400_accelerometer.txt"))
+        g = np.loadtxt(os.path.join(path, "d400_gyroscope.txt"))
+        imu_t = g[:, 0]
+        gyro = g[:, 1:4]
+        acc = np.stack(
+            [np.interp(imu_t, a[:, 0], a[:, 1 + k]) for k in range(3)], -1
+        )
+    odom = np.loadtxt(os.path.join(path, "odom.txt"))
+    odom_t = odom[:, 0]
+    wheel_pose = np.tile(np.eye(4), (len(odom), 1, 1))
+    from liwslam.core import geometry as geo
+    import jax.numpy as jnp
+
+    q_wxyz = np.concatenate([odom[:, 7:8], odom[:, 4:7]], axis=1)
+    wheel_pose[:, :3, :3] = np.asarray(
+        geo.mat_from_quat(jnp.asarray(q_wxyz, jnp.float32))
+    )
+    wheel_pose[:, :3, 3] = odom[:, 1:4]
+
+    laser_t = []
+    pts = []
+    valid = []
+    times_rel = []
+    n_beams = max_beams
+    with open(os.path.join(path, "laser.txt")) as f:
+        for line in f:
+            vals = line.split()
+            if not vals or vals[0].startswith("#"):
+                continue
+            t = float(vals[0])
+            a0 = float(vals[1])
+            da = float(vals[2])
+            n = int(vals[3])
+            r = np.asarray([float(x) for x in vals[4 : 4 + n]])
+            ang = a0 + da * np.arange(n)
+            ok = np.isfinite(r) & (r > 0.1)
+            xyz = np.stack(
+                [r * np.cos(ang), r * np.sin(ang), np.zeros(n)], -1
+            ).astype(np.float32)
+            if n_beams is None:
+                n_beams = n
+            xyz = xyz[:n_beams]
+            ok = ok[:n_beams]
+            laser_t.append(t)
+            pts.append(xyz)
+            valid.append(ok)
+            # per-ray offsets: assume a uniform sweep over the scan period
+            times_rel.append((np.arange(n_beams) / max(n_beams, 1) * 0.025).astype(np.float32))
+    t0 = min(imu_t[0], odom_t[0], laser_t[0])
+    return SimStreams(
+        imu_t_us=_to_us(imu_t, t0),
+        imu_acc=acc.astype(np.float32),
+        imu_gyro=gyro.astype(np.float32),
+        wheel_t_us=_to_us(odom_t, t0),
+        wheel_pose=wheel_pose.astype(np.float32),
+        laser_t_us=_to_us(laser_t, t0),
+        laser_points=np.stack(pts),
+        laser_times_rel=np.stack(times_rel),
+        laser_valid=np.stack(valid),
+        gt_t_us=np.zeros(0, np.int64),
+        gt_T_w_imu=np.zeros((0, 4, 4)),
+        gt_T_w_wheel=np.zeros((0, 4, 4)),
+    )
+
+
+_FIELDS = [
+    "imu_t_us", "imu_acc", "imu_gyro", "wheel_t_us", "wheel_pose",
+    "laser_t_us", "laser_points", "laser_times_rel", "laser_valid",
+    "gt_t_us", "gt_T_w_imu", "gt_T_w_wheel",
+]
+
+
+def save_npz(path, streams: SimStreams):
+    np.savez_compressed(path, **{k: getattr(streams, k) for k in _FIELDS})
+
+
+def load_npz(path) -> SimStreams:
+    z = np.load(path)
+    return SimStreams(**{k: z[k] for k in _FIELDS})

@@ -1,0 +1,118 @@
+"""End-to-end SLAM runner CLI: front end + back end + evaluation.
+
+Usage:
+    python -m liwslam.run --preset office --synthetic loop [--no-backend]
+    python -m liwslam.run --preset office --sequence /path/to/seq[.npz]
+
+Equivalent of launching the reference's ROS node on a dataset
+(``launch/lvio_2d_office.launch``): runs odometry, feeds keyframes to the
+keyframe manager, writes TUM trajectories (fornt_end.txt / back_end.txt
+naming kept, including the reference's typo) and prints ATE when ground
+truth is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="office", choices=["base", "office", "corridor", "cafe"])
+    ap.add_argument("--synthetic", default=None, choices=[None, "loop", "L"])
+    ap.add_argument("--sequence", default=None, help="OpenLORIS dir or .npz")
+    ap.add_argument("--out", default="/tmp/liwslam_out")
+    ap.add_argument("--no-backend", action="store_true")
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--laser-hz", type=float, default=10.0)
+    ap.add_argument("--beams", type=int, default=720)
+    ap.add_argument("--noise", action="store_true")
+    args = ap.parse_args(argv)
+
+    from liwslam import config
+    from liwslam.backend.manager import KeyframeManager
+    from liwslam.eval import metrics
+    from liwslam.frontend.driver import Frontend
+    from liwslam.io import tum
+    from liwslam.utils.record import Record
+
+    prm = config.PRESETS[args.preset]()
+    rec = Record("pipeline")
+
+    if args.synthetic:
+        from liwslam.sim import world as sim
+
+        streams = sim.simulate(
+            sim.default_track(args.synthetic),
+            sim.square_room(size=16.0, obstacles=True),
+            prm,
+            imu_hz=200,
+            wheel_hz=20,
+            laser_hz=args.laser_hz,
+            n_beams=args.beams,
+            noise=args.noise,
+            seed=1,
+        )
+    elif args.sequence:
+        from liwslam.io import openloris
+
+        streams = openloris.load_sequence(args.sequence)
+    else:
+        ap.error("need --synthetic or --sequence")
+
+    os.makedirs(args.out, exist_ok=True)
+    fe = Frontend(prm)
+    rec.begin_record()
+    res = fe.run(streams, chunk_size=args.chunk)
+    rec.end_record("frontend total")
+    F = len(res.p)
+    print(f"frontend: {F} frames, {int(res.is_keyframe.sum())} keyframes", file=sys.stderr)
+
+    est = res.T_w_imu()
+    Tiw = prm.mat_T_imu_to_wheel()
+    tum.write_tum(os.path.join(args.out, "fornt_end.txt"), res.t_us, est @ Tiw)
+
+    report = {"frames": F, "keyframes": int(res.is_keyframe.sum())}
+
+    if len(streams.gt_t_us):
+        pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+        gt = streams.gt_T_w_imu[pairs[:, 1]]
+        report["ate_frontend_m"] = metrics.ate_rmse(est[pairs[:, 0]], gt)
+
+    if not args.no_backend:
+        mgr = KeyframeManager(prm)
+        rec.begin_record()
+        ki = 0
+        for fi in np.flatnonzero(res.is_keyframe):
+            mgr.add_keyframe(
+                t_us=int(res.t_us[fi]),
+                p=res.p[fi],
+                q=res.q[fi],
+                corners=res.kf_corners[ki],
+                scan_lines=res.kf_scans[ki],
+            )
+            ki += 1
+        rec.end_record("backend total")
+        ts, Ts = mgr.trajectory()
+        if len(ts):
+            tum.write_tum(os.path.join(args.out, "back_end.txt"), ts, Ts @ Tiw)
+        report["loops"] = len(mgr.loops_found)
+        if len(streams.gt_t_us) and len(ts):
+            pairs = metrics.associate_by_time(ts, streams.gt_t_us)
+            if len(pairs):
+                gt = streams.gt_T_w_imu[pairs[:, 1]]
+                report["ate_backend_m"] = metrics.ate_rmse(Ts[pairs[:, 0]], gt)
+
+    rec.dump(args.out)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,17 @@ class TwistTrack:
                 break
         return T
 
+    def twist(self, t: float):
+        """Body twist (v (3,), w (3,)) at time t (left-continuous at
+        segment boundaries)."""
+        rem = t
+        for dur, vx, vy, wz in self.segments:
+            if rem <= dur:
+                return np.array([vx, vy, 0.0]), np.array([0.0, 0.0, wz])
+            rem -= dur
+        dur, vx, vy, wz = self.segments[-1]
+        return np.array([vx, vy, 0.0]), np.array([0.0, 0.0, wz])
+
     def poses(self, ts: np.ndarray) -> np.ndarray:
         return np.stack([self.pose(float(t)) for t in ts])
 
@@ -74,9 +85,10 @@ def _exp_twist2d(vx, vy, wz, dt):
     return make_tf_np(p, th)
 
 
-def square_room(size=8.0, obstacles=True) -> np.ndarray:
+def square_room(size=8.0, obstacles=True, rich=False) -> np.ndarray:
     """Wall segments (S,4) [x1,y1,x2,y2] of a square room w/ L-obstacles
-    (gives the corner detector work)."""
+    (gives the corner detector work).  ``rich`` adds box obstacles along
+    the walls — an office-like corner density for loop-closure tests."""
     s = size / 2
     segs = [
         (-s, -s, s, -s),
@@ -92,6 +104,30 @@ def square_room(size=8.0, obstacles=True) -> np.ndarray:
             (s - 2.0, 1.0, s - 3.2, 1.0),
             (-1.0, s - 2.5, 1.2, s - 2.5),
         ]
+    if rich:
+        # boxes ("desks") hugging each wall, size-scaled
+        rng = np.random.default_rng(7)
+        n_side = max(2, int(size / 4))
+        for wall in range(4):
+            for k in range(n_side):
+                u = -s + (k + 0.6) * size / (n_side + 0.2) + rng.uniform(-0.3, 0.3)
+                w = rng.uniform(0.5, 1.1)
+                d = rng.uniform(0.5, 0.9)
+                if wall == 0:  # bottom
+                    box = (u, -s, u + w, -s + d)
+                elif wall == 1:  # right
+                    box = (s - d, u, s, u + w)
+                elif wall == 2:  # top
+                    box = (u, s - d, u + w, s)
+                else:  # left
+                    box = (-s, u, -s + d, u + w)
+                x1, y1, x2, y2 = box
+                segs += [
+                    (x1, y1, x2, y1),
+                    (x2, y1, x2, y2),
+                    (x2, y2, x1, y2),
+                    (x1, y2, x1, y1),
+                ]
     return np.asarray(segs, np.float64)
 
 
@@ -177,28 +213,35 @@ def simulate(
     def T_w_imu(t):
         return track.pose(t) @ T_wi_inv  # world_from_wheel @ wheel_from_imu
 
-    # --- IMU: central differences of the exact pose track ---------------
+    # --- IMU: analytic from the piecewise-constant body twist -----------
+    # Finite differencing would produce huge spurious spikes at segment
+    # boundaries (velocity steps -> Dirac accelerations); the constant-twist
+    # kinematics are closed form instead:
+    #   p_imu(t) = T_w_wheel(t) r,  v = R (v_b + w x r),
+    #   a = R (w x (v_b + w x r)),  specific force f = R_imu_w^T (a - g_w).
+    r_imu = np.linalg.inv(T_iw)[:3, 3]  # imu origin in wheel coords
+    R_iw3 = T_iw[:3, :3]  # wheel -> imu coords
     imu_ts = np.arange(0.0, total, 1.0 / imu_hz)
-    h = 1e-4
     acc = np.zeros((len(imu_ts), 3))
     gyro = np.zeros((len(imu_ts), 3))
     for i, t in enumerate(imu_ts):
-        Tm = T_w_imu(max(t - h, 0.0))
-        T0 = T_w_imu(t)
-        Tp = T_w_imu(t + h)
-        p_m, p_0, p_p = Tm[:3, 3], T0[:3, 3], Tp[:3, 3]
-        a_w = (p_p - 2 * p_0 + p_m) / (h * h) if t >= h else np.zeros(3)
-        R0 = T0[:3, :3]
-        acc[i] = R0.T @ (a_w - G_W)
-        dR = Tm[:3, :3].T @ Tp[:3, :3]
-        w_body = _log_so3_np(dR) / (2 * h) if t >= h else _log_so3_np(T0[:3, :3].T @ Tp[:3, :3]) / h
-        gyro[i] = w_body
+        v_b, w_b = track.twist(t)
+        Tw = track.pose(t)
+        Rw = Tw[:3, :3]
+        vel_pt = v_b + np.cross(w_b, r_imu)
+        a_w = Rw @ np.cross(w_b, vel_pt)
+        R_w_imu = (Tw @ T_wi_inv)[:3, :3]
+        acc[i] = R_w_imu.T @ (a_w - G_W)
+        gyro[i] = R_iw3 @ w_b
     if noise:
         acc += rng.normal(0, 0.02, acc.shape)
         gyro += rng.normal(0, 0.002, gyro.shape)
 
     # --- wheel odometry ---------------------------------------------------
-    wheel_ts = np.arange(0.0, total, 1.0 / wheel_hz)
+    # phase offset: real sensors are unsynchronized; exactly-tied stamps
+    # would be dropped by the dispatcher (dispatch.h:228 keeps only the
+    # first message of a tied pair)
+    wheel_ts = np.arange(0.0, total, 1.0 / wheel_hz) + 0.0031
     wheel_poses = track.poses(wheel_ts)
     if noise:
         for i in range(len(wheel_poses)):
@@ -207,24 +250,29 @@ def simulate(
             )
 
     # --- laser -------------------------------------------------------------
-    laser_ts = np.arange(0.1, total, 1.0 / laser_hz)
+    laser_ts = np.arange(0.1, total, 1.0 / laser_hz) + 0.0007
     beams = np.linspace(-fov / 2, fov / 2, n_beams, endpoint=False)
     ray_rel = (np.arange(n_beams) / n_beams) * scan_duration
     pts = np.zeros((len(laser_ts), n_beams, 3), np.float32)
     valid = np.zeros((len(laser_ts), n_beams), bool)
     for i, t in enumerate(laser_ts):
         if skew:
-            origins = np.zeros((n_beams, 2))
-            dirs = np.zeros((n_beams, 2))
-            rngs = np.zeros(n_beams)
-            # per-ray pose (exact): raycast each ray from its own pose
-            for j in range(n_beams):
-                Twl = T_w_imu(t + ray_rel[j]) @ T_il
-                d_l = np.array([np.cos(beams[j]), np.sin(beams[j]), 0.0])
-                d_w = Twl[:3, :3] @ d_l
-                n2 = np.linalg.norm(d_w[:2])
-                r2 = raycast(Twl[:2, 3], (d_w[:2] / n2)[None], segments, max_range)[0]
-                rngs[j] = r2 / n2 if np.isfinite(r2) else np.inf
+            # per-ray pose, vectorized: within a constant-twist segment
+            # T(t + dt) = T(t) @ exp(twist * dt) exactly
+            v_b, w_b = track.twist(t)
+            Tw0 = track.pose(t)
+            Tws = np.stack(
+                [
+                    Tw0 @ _exp_twist2d(v_b[0], v_b[1], w_b[2], max(dt, 1e-9))
+                    for dt in ray_rel
+                ]
+            )
+            Twl_all = Tws @ T_wi_inv @ T_il  # (B,4,4) laser poses per ray
+            d_l = np.stack([np.cos(beams), np.sin(beams), np.zeros(n_beams)], -1)
+            d_w = np.einsum("bij,bj->bi", Twl_all[:, :3, :3], d_l)
+            n2 = np.linalg.norm(d_w[:, :2], axis=-1)
+            r2 = raycast(Twl_all[:, :2, 3], d_w[:, :2] / n2[:, None], segments, max_range)
+            rngs = r2 / n2
             Twl0 = T_w_imu(t) @ T_il
         else:
             Twl0 = T_w_imu(t) @ T_il
@@ -254,7 +302,12 @@ def simulate(
         wheel_pose=wheel_poses.astype(np.float32),
         laser_t_us=us(laser_ts),
         laser_points=pts,
-        laser_times_rel=np.tile(ray_rel.astype(np.float32), (len(laser_ts), 1)),
+        # unskewed scans carry zero per-ray offsets so the pipeline's
+        # de-skew is a no-op on them (it must only undo real skew)
+        laser_times_rel=np.tile(
+            (ray_rel if skew else np.zeros_like(ray_rel)).astype(np.float32),
+            (len(laser_ts), 1),
+        ),
         laser_valid=valid,
         gt_t_us=us(laser_ts),
         gt_T_w_imu=gt,

@@ -1,0 +1,149 @@
+"""Masked Levenberg-Marquardt on a flat state vector, fully jittable.
+
+Replaces both ``ceres::Solve`` call sites of the reference
+(``solver.cpp:795-802`` tracking, ``solver.cpp:161-168`` init, and the
+back-end pose graph at ``keyframe_manager.cpp:812-819``): trust-region LM
+with Jacobian relinearization per accepted step.
+
+Design choices for TPU + float32:
+
+- The damped step solves the *augmented least squares* problem by QR,
+  ``[J; sqrt(lam)*diag(colnorm)] dx = [-r; 0]`` — conditioning ~cond(J),
+  not cond(J)^2 like explicit normal equations, which matters because the
+  whitened laser rows carry weights up to ~3e3.
+- Frozen parameters (Ceres ``SetParameterBlockConstant``,
+  solver.cpp:787-794) are zeroed J columns with unit augmentation, which
+  decouples them exactly (dx_frozen == 0).
+- so3 state components are angle-wrapped after every accepted step — the
+  additive-plus-wrap local parameterization of factor_common.h:37-60.
+- Fixed iteration count inside ``lax.while_loop`` with accept/reject
+  lambda adaptation; early function-tolerance exit like Ceres.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LMConfig(NamedTuple):
+    max_iters: int = 10
+    lam_init: float = 1e-4
+    lam_up: float = 4.0
+    lam_down: float = 0.33
+    lam_min: float = 1e-10
+    lam_max: float = 1e8
+    ftol: float = 1e-8
+
+
+def _linearize(res_fn, x):
+    r = res_fn(x)
+    Jm = jax.jacfwd(res_fn)(x)
+    return r, Jm
+
+
+def _damped_step(Jm, r, lam, free_mask, dtype):
+    D = Jm.shape[1]
+    Jm = Jm * free_mask[None, :]
+    colnorm = jnp.sqrt(jnp.sum(Jm * Jm, axis=0))
+    # augmentation: LM damping for free cols, unit pin for frozen cols
+    aug = jnp.where(
+        free_mask > 0, jnp.sqrt(lam) * jnp.maximum(colnorm, 1e-6), 1.0
+    )
+    A = jnp.concatenate([Jm, jnp.diag(aug)], axis=0)
+    b = jnp.concatenate([-r, jnp.zeros(D, dtype)])
+    Q, R = jnp.linalg.qr(A)
+    dx = jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+    return dx * free_mask
+
+
+def lm_solve(
+    res_fn: Callable,
+    x0: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    cfg: LMConfig = LMConfig(),
+    wrap_fn: Callable = None,
+):
+    """Minimize |res_fn(x)|^2 over x (free components only).
+
+    res_fn: flat x -> flat residual (differentiable).
+    free_mask: (D,) 1.0 free / 0.0 frozen.
+    wrap_fn: optional post-update normalization (angle wrap).
+    Returns (x_opt, final_cost, n_iters).
+    """
+    dtype = x0.dtype
+    free_mask = free_mask.astype(dtype)
+
+    def cost(x):
+        r = res_fn(x)
+        return 0.5 * jnp.sum(r * r)
+
+    def body(carry):
+        x, lam, c0, it, done = carry
+        r, Jm = _linearize(res_fn, x)
+        dx = _damped_step(Jm, r, lam, free_mask, dtype)
+        x_new = x + dx
+        if wrap_fn is not None:
+            x_new = wrap_fn(x_new)
+        c_new = cost(x_new)
+        accept = c_new < c0
+        x = jnp.where(accept, x_new, x)
+        c1 = jnp.where(accept, c_new, c0)
+        lam = jnp.where(accept, lam * cfg.lam_down, lam * cfg.lam_up)
+        lam = jnp.clip(lam, cfg.lam_min, cfg.lam_max)
+        rel_decrease = (c0 - c1) / jnp.maximum(c0, 1e-20)
+        done = accept & (rel_decrease < cfg.ftol)
+        return (x, lam, c1, it + 1, done)
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(done))
+
+    c0 = cost(x0)
+    x, lam, c_fin, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(cfg.lam_init, dtype), c0, jnp.asarray(0), jnp.asarray(False))
+    )
+    return x, c_fin, iters
+
+
+def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int):
+    """Schur-complement marginalization (solver.cpp:4-40, 257-442).
+
+    Linearizes ``res_fn`` at ``x`` over ALL variables, eliminates all but
+    the LAST ``keep`` entries of the flat state, and eigendecomposes the
+    reduced information into a square-root prior:
+
+        H = J'J,  g = -J'r
+        dH = Hrr - Hrm Hmm^-1 Hmr,   dg = gr - Hrm Hmm^-1 gm
+        lin_J = sqrt(S) V',   lin_res = -sqrt(S)^-1 V' dg   (clamped eigs)
+
+    Returns (lin_J (keep,keep), lin_res (keep,), lin_X (keep,)).
+    """
+    dtype = x.dtype
+    r, Jm = _linearize(res_fn, x)
+    H = Jm.T @ Jm
+    g = -(Jm.T @ r)
+    D = x.shape[0]
+    m = D - keep
+    Hmm = H[:m, :m]
+    Hmr = H[:m, m:]
+    Hrm = H[m:, :m]
+    Hrr = H[m:, m:]
+    gm = g[:m]
+    gr = g[m:]
+    # solve instead of explicit inverse; tiny jitter guards f32 singularity
+    Hmm = Hmm + 1e-8 * jnp.eye(m, dtype=dtype)
+    sol = jnp.linalg.solve(Hmm, jnp.concatenate([Hmr, gm[:, None]], 1))
+    dH = Hrr - Hrm @ sol[:, :keep]
+    dg = gr - Hrm @ sol[:, keep]
+    dH = 0.5 * (dH + dH.T)
+    eps = 1e-8
+    S, V = jnp.linalg.eigh(dH)
+    S_cl = jnp.where(S > eps, S, 0.0)
+    S_inv = jnp.where(S > eps, 1.0 / S, 0.0)
+    lin_J = jnp.sqrt(S_cl)[:, None] * V.T
+    lin_res = -(jnp.sqrt(S_inv)[:, None] * V.T @ dg)
+    lin_X = x[m:]
+    return lin_J, lin_res, lin_X

@@ -1,0 +1,73 @@
+"""End-to-end front-end odometry on a simulated sequence: ATE bound."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liwslam import config
+from liwslam.eval import metrics
+from liwslam.frontend.driver import Frontend
+from liwslam.sim import world as sim
+
+
+def small_params():
+    # small capacities keep CPU compiles fast
+    return config.office().replace(
+        max_points=512,
+        max_lines=48,
+        max_corners=16,
+        ref_capacity=512,
+        max_imu_per_frame=32,
+        max_wheel_per_frame=8,
+        solver_max_iterations=8,
+        init_solver_max_iterations=25,
+    )
+
+
+@pytest.fixture(scope="module")
+def run_L():
+    prm = small_params()
+    streams = sim.simulate(
+        sim.default_track("L"),
+        sim.square_room(obstacles=True),
+        prm,
+        imu_hz=100,
+        wheel_hz=20,
+        laser_hz=5,
+        n_beams=360,
+        noise=False,
+        seed=0,
+    )
+    fe = Frontend(prm)
+    res = fe.run(streams, chunk_size=16)
+    return prm, streams, res
+
+
+def test_frontend_tracks_L(run_L):
+    prm, streams, res = run_L
+    assert len(res.p) >= 40
+    est = res.T_w_imu()
+    # associate with ground truth by time
+    pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+    assert len(pairs) == len(res.p)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate = metrics.ate_rmse(est, gt, align=False)
+    # noise-free sim, exact odometry: tight bound
+    assert ate < 0.1, f"ATE {ate}"
+
+
+def test_frontend_keyframes_and_corners(run_L):
+    prm, streams, res = run_L
+    assert res.is_keyframe.sum() >= 3
+    assert len(res.kf_corners) == int(res.is_keyframe.sum())
+    # at least one keyframe should carry corners near true world corners
+    allc = [c for c in res.kf_corners if len(c)]
+    assert allc, "no corners accumulated"
+
+
+def test_frontend_velocity_estimate(run_L):
+    prm, streams, res = run_L
+    # cruising speed 0.3 m/s in the straight legs
+    speeds = np.linalg.norm(res.v[:, :2], axis=1)
+    assert speeds.max() < 1.0
+    assert np.percentile(speeds, 80) > 0.1

@@ -32,7 +32,7 @@ def main():
     from liwslam.sim import world as sim
 
     prm = config.office().replace(
-        max_points=1024,
+        max_points=1152,
         max_lines=64,
         max_corners=16,
         ref_capacity=1024,
@@ -45,12 +45,12 @@ def main():
 
     streams = sim.simulate(
         sim.default_track("loop"),
-        sim.square_room(size=16.0, obstacles=True),
+        sim.square_room(size=12.0, obstacles=True, rich=True),
         prm,
         imu_hz=200,
         wheel_hz=20,
         laser_hz=10,
-        n_beams=720,
+        n_beams=1080,
         noise=True,
         seed=1,
     )
@@ -111,7 +111,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frontend tracking throughput (synthetic office, 720-beam scans, full solve)",
+                "metric": "frontend tracking throughput (synthetic office, 1080-beam scans, full solve)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 2),

@@ -32,9 +32,23 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # The TPU tunnel in this environment compiles remotely (~30 s+ per program);
 # persist compiled executables across processes so repeat runs skip it.
+# The cache is keyed per requested platform: a CPU executable AOT-compiled
+# by the remote service targets different machine features than this host
+# (cpu_aot_loader warns of possible SIGILL if shared).
 import os as _os
 
-_cache = _os.environ.get("LIWSLAM_JAX_CACHE", "/tmp/liwslam_jax_cache")
+# honor an in-process override (tests force cpu via jax.config before
+# importing liwslam) over the environment variable.  Cache dirs are keyed
+# by platform: axon runs remote-compile some CPU-host programs whose AOT
+# machine features differ from this host (SIGILL risk if a cpu run were
+# to load them), so the two populations must never share a directory.
+_platform = (
+    getattr(_jax.config, "jax_platforms", None)
+    or _os.environ.get("JAX_PLATFORMS", "default")
+).replace(",", "_")
+_cache = _os.environ.get(
+    "LIWSLAM_JAX_CACHE", f"/tmp/liwslam_jax_cache_{_platform}"
+)
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

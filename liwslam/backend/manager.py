@@ -37,6 +37,7 @@ class Keyframe:
     is_laser: bool
     corners: np.ndarray  # (k,3) accumulated world-frame corners
     scan_lines: tuple  # (p1 (l,3), p2 (l,3)) laser-frame lines
+    session: int = 0  # multi-session/multi-robot id (0 = primary)
 
 
 class KeyframeManager:
@@ -48,7 +49,7 @@ class KeyframeManager:
         self.map_features: list = []  # per keyframe (None for non-laser)
         self.seq_edges: list = []  # (i, j, tf12 (4,4))
         self.loop_edges: list = []
-        self.modify_delta_tf = np.eye(4)
+        self._modify_delta = {}  # per-session re-basing correction
         self.last_solve_t_us = -(10**15)
         self.has_loop_pending = False
         self.pg_consts = pg.make_pg_consts(params, dtype)
@@ -80,7 +81,9 @@ class KeyframeManager:
         key = ("solve", K, E)
         if key not in self._compiled:
             consts = self.pg_consts
-            if K <= 256:
+            # dense QR-LM only pays off on tiny graphs: its jacfwd spans the
+            # whole 6K-dim state, while PCG linearizes per edge (6x12)
+            if K <= 64:
                 fn = jax.jit(lambda g: pg.solve_dense(g, consts, max_iters=30))
             else:
                 fn = jax.jit(lambda g: pg.solve_pcg(g, consts, gn_iters=20, cg_iters=60))
@@ -89,11 +92,17 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
-    def add_keyframe(self, t_us, p, q, corners, scan_lines, is_laser=True):
-        """do_add_keyframe (keyframe_manager.cpp:418-482)."""
+    def add_keyframe(self, t_us, p, q, corners, scan_lines, is_laser=True, session=0):
+        """do_add_keyframe (keyframe_manager.cpp:418-482).
+
+        Multi-session extension (no reference counterpart): keyframes carry
+        a session id; sequential edges connect only within a session, and
+        loop detection also searches other sessions' descriptor maps
+        without the min-interval gate — a detected cross-session loop
+        rigidly aligns the sessions through the shared pose graph."""
         prm = self.params
         T_track = np.asarray(geo.make_tf(jnp.asarray(p), jnp.asarray(q)), np.float64)
-        T_corr = self.modify_delta_tf @ T_track
+        T_corr = self.modify_delta_tf(session) @ T_track
         pc, qc = geo.log_SE3(jnp.asarray(T_corr, self.dtype))
         kf = Keyframe(
             t_us=int(t_us),
@@ -103,15 +112,24 @@ class KeyframeManager:
             is_laser=is_laser,
             corners=np.asarray(corners).reshape(-1, 3),
             scan_lines=scan_lines,
+            session=session,
         )
         self.keyframes.append(kf)
         k = len(self.keyframes) - 1
 
-        if k > 0:
+        prev_same = next(
+            (
+                i
+                for i in range(k - 1, -1, -1)
+                if self.keyframes[i].session == session
+            ),
+            None,
+        )
+        if prev_same is not None:
             tf12 = (
-                np.linalg.inv(self.keyframes[k - 1].T_tracking) @ T_track
+                np.linalg.inv(self.keyframes[prev_same].T_tracking) @ T_track
             )
-            self.seq_edges.append((k - 1, k, tf12))
+            self.seq_edges.append((prev_same, k, tf12))
 
         if is_laser:
             self.map_features.append(self._spawn_map_feature(k))
@@ -126,15 +144,27 @@ class KeyframeManager:
         if self._is_time_to_solve(t_us):
             self.last_solve_t_us = int(t_us)
             self.solve()
-            T_new = np.asarray(
-                geo.make_tf(
-                    jnp.asarray(self.keyframes[k].p), jnp.asarray(self.keyframes[k].q)
-                ),
-                np.float64,
-            )
-            self.modify_delta_tf = T_new @ np.linalg.inv(T_track)
+            # re-base every session's live output from its newest keyframe
+            # (keyframe_manager.cpp:468-473, per session)
+            newest = {}
+            for i, kf2 in enumerate(self.keyframes):
+                newest[kf2.session] = i
+            for s, i in newest.items():
+                T_new = np.asarray(
+                    geo.make_tf(
+                        jnp.asarray(self.keyframes[i].p),
+                        jnp.asarray(self.keyframes[i].q),
+                    ),
+                    np.float64,
+                )
+                self._modify_delta[s] = T_new @ np.linalg.inv(
+                    self.keyframes[i].T_tracking
+                )
             self.has_loop_pending = False
         return kf
+
+    def modify_delta_tf(self, session=0):
+        return self._modify_delta.get(session, np.eye(4))
 
     def _is_time_to_solve(self, t_us):
         return (
@@ -149,11 +179,14 @@ class KeyframeManager:
         """spawn_laser_map_feature (keyframe_manager.cpp:898-925): corner
         sets of the last submap_count laser keyframes."""
         prm = self.params
+        session = self.keyframes[k].session
         corner_sets = []
         count = 0
         newest = None
         for i in range(len(self.keyframes) - 1, -1, -1):
             if not self.keyframes[i].is_laser:
+                continue
+            if self.keyframes[i].session != session:
                 continue
             corner_sets.append(self.keyframes[i].corners)
             if newest is None:
@@ -175,19 +208,23 @@ class KeyframeManager:
         """laser_loop_detect (keyframe_manager.cpp:642-712)."""
         prm = self.params
         feats = self.map_features
-        if len(feats) < prm.loop_detect_min_interval:
-            return None
         m1 = feats[-1]
         if m1 is None or int(np.asarray(m1.valid).sum()) < prm.laser_loop_min_match_threshold:
             return None
+        cur_session = self.keyframes[-1].session
         stride = prm.submap_count // 3 + 1
         n_probe = min(prm.loop_probe_count, int(np.asarray(m1.valid).sum()))
         probes = jnp.arange(n_probe, dtype=jnp.int32)  # points pre-shuffled
         score = self._score_fn(prm.map_corner_capacity)
-        for i in range(0, len(feats) - prm.loop_detect_min_interval, stride):
+        for i in range(0, len(feats), stride):
             m2 = feats[i]
             if m2 is None:
                 continue
+            if self.keyframes[i].session == cur_session:
+                # same-session revisit: min-interval gate (in keyframes)
+                if len(feats) - i <= prm.loop_detect_min_interval:
+                    continue
+            # cross-session candidates are always eligible
             if int(np.asarray(m2.valid).sum()) < prm.laser_loop_min_match_threshold:
                 continue
             dorigin = np.linalg.inv(np.asarray(m1.origin)) @ np.asarray(m2.origin)
@@ -299,6 +336,6 @@ class KeyframeManager:
         )
         return ts, Ts
 
-    def corrected_live_pose(self, T_tracking):
+    def corrected_live_pose(self, T_tracking, session=0):
         """update_other_frame's live output (keyframe_manager.cpp:407-417)."""
-        return self.modify_delta_tf @ np.asarray(T_tracking)
+        return self.modify_delta_tf(session) @ np.asarray(T_tracking)

@@ -247,10 +247,19 @@ def tracking_step(
     pts = scan_mod.deskew(inp.points, inp.ray_t, R_wl.T @ cur_v, ang_laser)
 
     # --- 2. preintegrate up to the frame stamp (trajectory.cpp:176-184)
-    imu_c = pre.imu_add_samples(
-        state.imu, inp.imu_acc, inp.imu_gyro, inp.imu_t_us, inp.imu_mask, dcfg.imu_Q
+    # log-depth associative-scan form (ops/preint_parallel; equivalent to
+    # imu_add_samples + imu_update_only_t for the packer's prefix masks)
+    from liwslam.ops.preint_parallel import imu_interval_parallel
+
+    imu_c = imu_interval_parallel(
+        state.imu,
+        inp.imu_acc,
+        inp.imu_gyro,
+        inp.imu_t_us,
+        inp.imu_mask,
+        inp.dt_us,
+        dcfg.imu_Q,
     )
-    imu_c = pre.imu_update_only_t(imu_c, inp.dt_us, dcfg.imu_Q)
     imu_res = pre.imu_result(imu_c)
     wheel_c = pre.wheel_add_samples(
         state.wheel, inp.wheel_pose, inp.wheel_t_us, inp.wheel_mask

@@ -224,14 +224,22 @@ def extract_features(
         & jnp.isfinite(length)
     )
 
-    lv, lp1, lp2, lnv = _compact(line_ok, max_lines, e1, e2, nvec)
+    # beam spacing at the span ends: corners live where two segments meet,
+    # but each segment's last return sits up to one beam spacing short of
+    # the physical corner, so the corner gate must scale with it
+    gap_full = jnp.concatenate([jnp.zeros(1, dtype), gap])  # (N,) |p[i]-p[i-1]|
+    end_gap = jnp.maximum(
+        gap_full[jnp.clip(i1 + 1, 0, N - 1)], gap_full[jnp.clip(i2, 0, N - 1)]
+    )
+
+    lv, lp1, lp2, lgap = _compact(line_ok, max_lines, e1, e2, end_gap)
     z = jnp.zeros((max_lines, 1), dtype)
     lp1 = jnp.concatenate([lp1, z], 1)
     lp2 = jnp.concatenate([lp2, z], 1)
 
     # --- 5. corners -------------------------------------------------------
     corners, corner_valid = _find_corners(
-        lp1[:, :2], lp2[:, :2], lv, resolution, max_corners, dtype
+        lp1[:, :2], lp2[:, :2], lv, resolution, max_corners, dtype, end_gap=lgap
     )
     cz = jnp.zeros((max_corners, 1), dtype)
     corners = jnp.concatenate([corners, cz], 1)
@@ -250,9 +258,13 @@ def _point_segment_dist(p, a, b):
     return jnp.linalg.norm(p - proj, axis=-1)
 
 
-def _find_corners(p1, p2, valid, resolution, max_corners, dtype):
+def _find_corners(p1, p2, valid, resolution, max_corners, dtype, end_gap=None):
     """Intersections of line pairs meeting at 30-150 deg, both segments
-    passing near the intersection (scan::add_line corner logic)."""
+    passing near the intersection (scan::add_line corner logic).
+
+    ``end_gap`` (L,): beam spacing at each line's ends; the nearness gate
+    adapts to it so sparse long-range scans still yield corners (the
+    reference's fixed shared-cell test implicitly assumes dense beams)."""
     L = p1.shape[0]
     d = p2 - p1
     length = jnp.linalg.norm(d, axis=-1)
@@ -278,8 +290,14 @@ def _find_corners(p1, p2, valid, resolution, max_corners, dtype):
     yi = (A00 * b1 - A10 * b0) / safe_det
     X = jnp.stack([xi, yi], -1)  # (L,L,2)
 
-    near_i = _point_segment_dist(X, p1[:, None, :], p2[:, None, :]) <= 2.0 * resolution
-    near_j = _point_segment_dist(X, p1[None, :, :], p2[None, :, :]) <= 2.0 * resolution
+    if end_gap is None:
+        end_gap = jnp.zeros(L, dtype)
+    gate = jnp.maximum(
+        2.0 * resolution,
+        1.6 * jnp.maximum(end_gap[:, None], end_gap[None, :]),
+    )
+    near_i = _point_segment_dist(X, p1[:, None, :], p2[:, None, :]) <= gate
+    near_j = _point_segment_dist(X, p1[None, :, :], p2[None, :, :]) <= gate
     long_ok = (length[:, None] > 0.1) & (length[None, :] > 0.1)
     pair_ok = (
         ang_ok

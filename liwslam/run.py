@@ -25,14 +25,21 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="office", choices=["base", "office", "corridor", "cafe"])
-    ap.add_argument("--synthetic", default=None, choices=[None, "loop", "L"])
+    ap.add_argument("--synthetic", default=None, choices=[None, "loop", "smallloop", "L"])
     ap.add_argument("--sequence", default=None, help="OpenLORIS dir or .npz")
     ap.add_argument("--out", default="/tmp/liwslam_out")
     ap.add_argument("--no-backend", action="store_true")
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--laser-hz", type=float, default=10.0)
-    ap.add_argument("--beams", type=int, default=720)
+    ap.add_argument("--beams", type=int, default=1080)
     ap.add_argument("--noise", action="store_true")
+    ap.add_argument(
+        "--param",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override any Params field (repeatable), e.g. --param loop_max_dis=2.5",
+    )
     args = ap.parse_args(argv)
 
     from liwslam import config
@@ -43,6 +50,19 @@ def main(argv=None):
     from liwslam.utils.record import Record
 
     prm = config.PRESETS[args.preset]()
+    overrides = {}
+    for kv in args.param:
+        k, v = kv.split("=", 1)
+        cur = getattr(prm, k)  # raises on unknown key
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        overrides[k] = v
+    if overrides:
+        prm = prm.replace(**overrides)
     rec = Record("pipeline")
 
     if args.synthetic:
@@ -50,7 +70,7 @@ def main(argv=None):
 
         streams = sim.simulate(
             sim.default_track(args.synthetic),
-            sim.square_room(size=16.0, obstacles=True),
+            sim.square_room(size=12.0, obstacles=True, rich=True),
             prm,
             imu_hz=200,
             wheel_hz=20,
@@ -108,6 +128,34 @@ def main(argv=None):
             if len(pairs):
                 gt = streams.gt_T_w_imu[pairs[:, 1]]
                 report["ate_backend_m"] = metrics.ate_rmse(Ts[pairs[:, 0]], gt)
+
+        # occupancy-grid map from loop-corrected keyframe scans
+        # (visualization::update_occupancy_grid equivalent)
+        from liwslam.core import geometry as geo
+        from liwslam.eval import occupancy
+
+        Til = prm.mat_T_imu_to_laser()
+        scans_xy, origins = [], []
+        for i, kf in enumerate(mgr.keyframes):
+            l1, l2 = kf.scan_lines
+            if len(l1) == 0:
+                continue
+            T_wl = (
+                np.asarray(
+                    geo.make_tf(kf.p.astype(np.float32), kf.q.astype(np.float32))
+                )
+                @ Til
+            )
+            pts = np.concatenate([l1, l2])  # line endpoints as hit samples
+            w = (T_wl[:3, :3] @ pts.T).T + T_wl[:3, 3]
+            scans_xy.append(w[:, :2])
+            origins.append(T_wl[:2, 3])
+        if scans_xy:
+            grid, origin = occupancy.build_occupancy(
+                scans_xy, np.asarray(origins), resolution=prm.laser_resolution
+            )
+            occupancy.write_pgm(os.path.join(args.out, "map.pgm"), grid)
+            report["map_cells"] = int((grid >= 0).sum())
 
     rec.dump(args.out)
     print(json.dumps(report))

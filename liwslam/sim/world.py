@@ -341,6 +341,10 @@ def default_track(kind="loop") -> TwistTrack:
                 (3.5, 0.3, 0.0, np.pi / 2 / 3.5),
             ]
         )
+    if kind == "smallloop":
+        # compact square circuit (~20 s): fits CI budgets, still closes
+        leg = [(3.5, 0.35, 0.0, 0.0), (2.6, 0.25, 0.0, np.pi / 2 / 2.6)]
+        return TwistTrack([(2.0, 0.0, 0.0, 0.0)] + leg * 4)
     if kind == "L":
         return TwistTrack(
             [

@@ -188,7 +188,7 @@ def test_manager_detects_loop_and_corrects(rng):
         )
     assert len(mgr.loops_found) >= 1, "no loop detected"
     # after the solve, modify_delta_tf should be non-identity
-    assert not np.allclose(mgr.modify_delta_tf, np.eye(4), atol=1e-6)
+    assert not np.allclose(mgr.modify_delta_tf(), np.eye(4), atol=1e-6)
     ts, Ts = mgr.trajectory()
     # corrected endpoint near the true revisit position
     end_err = np.linalg.norm(Ts[K - 1, :2, 3] - true_T[K - 1, :2, 3])

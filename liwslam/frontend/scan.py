@@ -66,10 +66,19 @@ class ScanFeatures(NamedTuple):
 
 
 def _compact(valid, cap, *arrays):
-    """Take the first ``cap`` valid rows (scan order) of each array."""
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)[:cap]
-    out_valid = valid[order]
-    return (out_valid,) + tuple(a[order] for a in arrays)
+    """Take the first ``cap`` valid rows (scan order) of each array.
+
+    Scatter-based stable compaction: O(n) instead of an O(n log^2 n)
+    bitonic argsort — the compactions over 2k points / 4k corner pairs are
+    part of the per-frame fixed cost."""
+    tgt = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx = jnp.where(valid, tgt, cap + 1)  # invalid / overflow -> dropped
+    out_valid = jnp.zeros(cap, bool).at[idx].set(valid, mode="drop")
+    outs = tuple(
+        jnp.zeros((cap,) + a.shape[1:], a.dtype).at[idx].set(a, mode="drop")
+        for a in arrays
+    )
+    return (out_valid,) + outs
 
 
 def _range_sum(cumsum, i1, i2):

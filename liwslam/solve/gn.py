@@ -35,7 +35,7 @@ class LMConfig(NamedTuple):
     lam_down: float = 0.33
     lam_min: float = 1e-10
     lam_max: float = 1e8
-    ftol: float = 1e-8
+    ftol: float = 1e-6  # Ceres function_tolerance default
 
 
 def _linearize(res_fn, x):

@@ -116,6 +116,11 @@ def _popcount32(x):
     return (x * 0x01010101) >> 24
 
 
+def _or_reduce(x, axis):
+    """Bitwise-OR reduction (uint32) along ``axis``."""
+    return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_or, (axis,))
+
+
 def score_pairs(
     m1: MapFeature,
     m2: MapFeature,
@@ -127,9 +132,15 @@ def score_pairs(
 ):
     """For every (probe i, candidate j) corner pair: the best rotation
     bin and its unique-left-neighbor vote count (match_des semantics,
-    keyframe_manager.cpp:1034-1123).  Returns (counts (NP,P), bins (NP,P))."""
+    keyframe_manager.cpp:1034-1123).  Returns (counts (NP,P), bins (NP,P)).
+
+    The per-k1 "votes at most once per rotation bin" dedup is computed by
+    bit-packing each k1's voted bins into (P, ceil(A/32)) uint32 words (an
+    OR-reduction over k2) instead of materializing a (P,P,A) one-hot —
+    O(P^2 + P*A) memory per pair, all VPU integer ops."""
     P = m1.points.shape[0]
     orig = n_angle_bins // 2
+    NW = (n_angle_bins + 31) // 32
 
     def one_pair(i, j):
         # popcount prefilter on the distance-bin bitmaps
@@ -145,10 +156,21 @@ def score_pairs(
         adiff = jnp.where(adiff >= jnp.pi, adiff - 2 * jnp.pi, adiff)
         adiff = jnp.where(adiff < -jnp.pi, adiff + 2 * jnp.pi, adiff)
         bins = (adiff / a_res).astype(jnp.int32) + orig  # (P,P)
-        onehot = jax.nn.one_hot(bins, n_angle_bins, dtype=jnp.bool_)  # (P,P,A)
-        voted = onehot & eq[:, :, None]
-        per_k1 = jnp.any(voted, axis=1)  # (P,A): k1 votes bin at most once
-        hist = jnp.sum(per_k1.astype(jnp.int32), axis=0)  # (A,)
+        word = bins >> 5
+        bit = (jnp.uint32(1) << (bins & 31).astype(jnp.uint32)).astype(jnp.uint32)
+        # votes[k1, w] = OR over k2 of bit where (eq & bin's word == w)
+        def word_votes(w):
+            contrib = jnp.where(eq & (word == w), bit, jnp.uint32(0))
+            return _or_reduce(contrib, 1)  # (P,)
+
+        votes = jax.vmap(word_votes, out_axes=1)(jnp.arange(NW))  # (P,NW)
+        # unpack words -> per-bin presence, histogram over k1
+        bitsmat = (
+            votes[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        ) & jnp.uint32(1)  # (P,NW,32)
+        hist = jnp.sum(
+            bitsmat.reshape(P, NW * 32).astype(jnp.int32), axis=0
+        )[:n_angle_bins]  # (A,)
         best_bin = jnp.argmax(hist).astype(jnp.int32)
         best_cnt = hist[best_bin] + 1  # + the root pair itself
         ok = (inter >= min_match_threshold) & m1.valid[i] & m2.valid[j]

@@ -58,21 +58,27 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
-    def _score_fn(self, P):
-        key = ("score", P)
+    def _score_fn(self, P, M):
+        """Batched pair scoring: one device program scores the probe map
+        against M candidate maps at once (vmap over the stacked candidate
+        descriptors) — one dispatch + one transfer per keyframe instead of
+        one per candidate.  M is bucketed to powers of two by the caller."""
+        key = ("score", P, M)
         if key not in self._compiled:
             prm = self.params
 
             @jax.jit
-            def score(m1, m2, probes):
-                return loop_mod.score_pairs(
-                    m1,
-                    m2,
-                    probes,
-                    a_res=prm.a_res,
-                    n_angle_bins=prm.n_angle_bins,
-                    min_match_threshold=prm.laser_loop_min_match_threshold,
-                )
+            def score(m1, m2s, probes):
+                return jax.vmap(
+                    lambda m2: loop_mod.score_pairs(
+                        m1,
+                        m2,
+                        probes,
+                        a_res=prm.a_res,
+                        n_angle_bins=prm.n_angle_bins,
+                        min_match_threshold=prm.laser_loop_min_match_threshold,
+                    )
+                )(m2s)
 
             self._compiled[key] = score
         return self._compiled[key]
@@ -215,7 +221,13 @@ class KeyframeManager:
         stride = prm.submap_count // 3 + 1
         n_probe = min(prm.loop_probe_count, int(np.asarray(m1.valid).sum()))
         probes = jnp.arange(n_probe, dtype=jnp.int32)  # points pre-shuffled
-        score = self._score_fn(prm.map_corner_capacity)
+
+        # host gates first, then score ALL surviving candidates in one
+        # batched device call (the reference scores sequentially and stops
+        # at the first success — scoring is side-effect-free, so batching
+        # preserves the result as long as candidates are then examined in
+        # the original stride order)
+        cands = []
         for i in range(0, len(feats), stride):
             m2 = feats[i]
             if m2 is None:
@@ -230,8 +242,29 @@ class KeyframeManager:
             dorigin = np.linalg.inv(np.asarray(m1.origin)) @ np.asarray(m2.origin)
             if np.linalg.norm(dorigin[:3, 3]) > prm.loop_max_dis:
                 continue
-            counts, bins = score(m1, m2, probes)
-            counts = np.asarray(counts)
+            cands.append((i, m2))
+        if not cands:
+            return None
+
+        counts_list, bins_list = [], []
+        for lo in range(0, len(cands), 32):  # bound peak memory per call
+            chunk = [m for _, m in cands[lo : lo + 32]]
+            n = len(chunk)
+            M = max(1, 1 << (n - 1).bit_length())  # bucket: few jits
+            dummy = jax.tree_util.tree_map(jnp.zeros_like, chunk[0])
+            chunk = chunk + [dummy] * (M - n)
+            m2s = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *chunk
+            )
+            cb, bb = self._score_fn(prm.map_corner_capacity, M)(m1, m2s, probes)
+            counts_list.append(np.asarray(cb)[:n])
+            bins_list.append(np.asarray(bb)[:n])
+        counts_all = np.concatenate(counts_list)
+        bins_all = np.concatenate(bins_list)
+
+        for ci, (i, m2) in enumerate(cands):
+            counts = counts_all[ci]
+            bins = bins_all[ci]
             best = int(counts.max())
             if best <= prm.laser_loop_min_match_threshold:
                 continue

@@ -11,6 +11,7 @@ All batched jnp; observations are normalized-plane points (x, y, 1).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from liwslam.core import geometry as geo
@@ -32,6 +33,27 @@ def triangulate_two_view(c1, c2, tf_1_2):
     det = a11 * a22 - a12 * a12
     s1 = (b1 * a22 - b2 * a12) / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
     return s1
+
+
+def epipolar_inliers(c1s, c2s, valid, tf_1_2, thresh=1e-4):
+    """camera_match::update_scale's epipolar gate (camera_manager.cpp:7-29):
+    with E = [t]x R from the *given* relative pose, keep pairs with
+    |c1' E c2| below threshold.  Batched over (N,3) normalized points."""
+    R = tf_1_2[:3, :3]
+    t = tf_1_2[:3, 3]
+    E = geo.skew(t) @ R
+    err = jnp.einsum("ni,ij,nj->n", c1s, E, c2s)
+    return valid & (jnp.abs(err) < thresh)
+
+
+def update_scale(c1s, c2s, valid, tf_1_2, thresh=1e-4):
+    """Batched camera_match::update_scale: epipolar-filter the matches and
+    return per-point depths along ray 1 (camera_manager.cpp:7-29).
+
+    Returns (scales (N,), inlier_mask (N,))."""
+    ok = epipolar_inliers(c1s, c2s, valid, tf_1_2, thresh)
+    scales = jax.vmap(lambda a, b: triangulate_two_view(a, b, tf_1_2))(c1s, c2s)
+    return scales, ok
 
 
 def triangulate_svd(cam_points, T_w_cs, valid):

@@ -34,7 +34,16 @@ def _to_us(t_s, t0_s):
     return np.round((np.asarray(t_s) - t0_s) * 1e6).astype(np.int64)
 
 
-def load_sequence(path, max_beams=None) -> SimStreams:
+def load_sequence(path, max_beams=None, T_imu_to_wheel=None) -> SimStreams:
+    """Load a sequence directory (or .npz).
+
+    ``T_imu_to_wheel``: optional (4,4) extrinsic (the config's
+    ``T_imu_to_wheel``); when given and ``<seq>/groundtruth.txt`` exists
+    (TUM format, base/wheel-frame poses — OpenLORIS ships gt for the
+    base_link frame), ``gt_T_w_imu`` is derived as
+    ``T_w_wheel @ inv(T_imu_to_wheel)`` so ATE can be evaluated directly
+    against the front end's IMU-frame estimate.
+    """
     if path.endswith(".npz"):
         return load_npz(path)
     imu_path = os.path.join(path, "imu.txt")
@@ -91,6 +100,21 @@ def load_sequence(path, max_beams=None) -> SimStreams:
             # per-ray offsets: assume a uniform sweep over the scan period
             times_rel.append((np.arange(n_beams) / max(n_beams, 1) * 0.025).astype(np.float32))
     t0 = min(imu_t[0], odom_t[0], laser_t[0])
+
+    gt_t_us = np.zeros(0, np.int64)
+    gt_T_w_imu = np.zeros((0, 4, 4))
+    gt_T_w_wheel = np.zeros((0, 4, 4))
+    gt_path = os.path.join(path, "groundtruth.txt")
+    if os.path.exists(gt_path):
+        from liwslam.io import tum
+
+        gt_t_s, gt_T_w_wheel = tum.read_tum(gt_path)
+        gt_t_us = _to_us(gt_t_s, t0)
+        if T_imu_to_wheel is not None:
+            gt_T_w_imu = gt_T_w_wheel @ np.linalg.inv(np.asarray(T_imu_to_wheel, np.float64))
+        else:
+            gt_T_w_imu = np.zeros((0, 4, 4))
+
     return SimStreams(
         imu_t_us=_to_us(imu_t, t0),
         imu_acc=acc.astype(np.float32),
@@ -101,10 +125,72 @@ def load_sequence(path, max_beams=None) -> SimStreams:
         laser_points=np.stack(pts),
         laser_times_rel=np.stack(times_rel),
         laser_valid=np.stack(valid),
-        gt_t_us=np.zeros(0, np.int64),
-        gt_T_w_imu=np.zeros((0, 4, 4)),
-        gt_T_w_wheel=np.zeros((0, 4, 4)),
+        gt_t_us=gt_t_us,
+        gt_T_w_imu=gt_T_w_imu,
+        gt_T_w_wheel=gt_T_w_wheel,
     )
+
+
+def save_text_sequence(path, streams: SimStreams, t0_s=1560000000.0):
+    """Write ``streams`` in the OpenLORIS raw-text layout read by
+    ``load_sequence`` (imu.txt / odom.txt / laser.txt / groundtruth.txt).
+
+    The inverse of ``load_sequence`` for round-trip ingestion tests and
+    for converting simulator output into the dataset interchange format.
+    Laser beams must lie on a uniform angle grid (OpenLORIS scans do;
+    the simulator's do); invalid beams are written as NaN ranges.
+    """
+    os.makedirs(path, exist_ok=True)
+    it = streams.imu_t_us * 1e-6 + t0_s
+    np.savetxt(
+        os.path.join(path, "imu.txt"),
+        np.column_stack([it, streams.imu_acc, streams.imu_gyro]),
+        fmt="%.9f",
+    )
+
+    from liwslam.core import geometry as geo
+    import jax.numpy as jnp
+
+    wt = streams.wheel_t_us * 1e-6 + t0_s
+    q_wxyz = np.asarray(
+        geo.quat_from_mat(jnp.asarray(streams.wheel_pose[:, :3, :3], jnp.float32))
+    )
+    np.savetxt(
+        os.path.join(path, "odom.txt"),
+        np.column_stack(
+            [wt, streams.wheel_pose[:, :3, 3], q_wxyz[:, 1:4], q_wxyz[:, 0:1]]
+        ),
+        fmt="%.9f",
+    )
+
+    lt = streams.laser_t_us * 1e-6 + t0_s
+    with open(os.path.join(path, "laser.txt"), "w") as f:
+        for k in range(len(lt)):
+            xy = streams.laser_points[k, :, :2]
+            r = np.linalg.norm(xy, axis=-1)
+            ang = np.unwrap(np.arctan2(xy[:, 1], xy[:, 0]))
+            # recover the uniform grid from two valid beams
+            ok = streams.laser_valid[k] & (r > 0.1)
+            idx = np.flatnonzero(ok)
+            if len(idx) >= 2:
+                i0, i1 = idx[0], idx[-1]
+                da = (ang[i1] - ang[i0]) / max(i1 - i0, 1)
+                a0 = ang[i0] - da * i0
+            else:
+                a0, da = -np.pi, 2 * np.pi / max(len(r), 1)
+            r = np.where(ok, r, np.nan)
+            vals = " ".join(f"{x:.6f}" for x in r)
+            f.write(f"{lt[k]:.9f} {a0:.9f} {da:.9f} {len(r)} {vals}\n")
+
+    if len(streams.gt_t_us):
+        from liwslam.io import tum
+
+        tum.write_tum(
+            os.path.join(path, "groundtruth.txt"),
+            streams.gt_t_us,
+            streams.gt_T_w_wheel,
+            time_offset_s=t0_s,
+        )
 
 
 _FIELDS = [

@@ -82,7 +82,9 @@ def main(argv=None):
     elif args.sequence:
         from liwslam.io import openloris
 
-        streams = openloris.load_sequence(args.sequence)
+        streams = openloris.load_sequence(
+            args.sequence, T_imu_to_wheel=prm.mat_T_imu_to_wheel()
+        )
     else:
         ap.error("need --synthetic or --sequence")
 

@@ -84,6 +84,39 @@ def test_npz_roundtrip(tmp_path):
     np.testing.assert_allclose(s.laser_points, s2.laser_points)
 
 
+def test_text_sequence_roundtrip(tmp_path):
+    # simulator → OpenLORIS text layout → loader, with groundtruth
+    from liwslam import config
+    from liwslam.sim import world as sim
+
+    prm = config.office()
+    s = sim.simulate(
+        sim.default_track("L"), sim.square_room(), prm,
+        imu_hz=50, laser_hz=2, n_beams=90,
+    )
+    d = str(tmp_path / "seq")
+    openloris.save_text_sequence(d, s)
+    T_iw = prm.mat_T_imu_to_wheel()
+    s2 = openloris.load_sequence(d, T_imu_to_wheel=T_iw)
+
+    np.testing.assert_array_equal(s.imu_t_us, s2.imu_t_us)
+    np.testing.assert_allclose(s.imu_acc, s2.imu_acc, atol=1e-5)
+    np.testing.assert_allclose(s.imu_gyro, s2.imu_gyro, atol=1e-5)
+    np.testing.assert_allclose(s.wheel_pose, s2.wheel_pose, atol=1e-5)
+    # laser points survive (invalid beams become NaN → filtered)
+    ok = s.laser_valid & (np.linalg.norm(s.laser_points[..., :2], axis=-1) > 0.1)
+    np.testing.assert_array_equal(ok, s2.laser_valid)
+    np.testing.assert_allclose(
+        s.laser_points[ok], s2.laser_points[ok], atol=1e-4
+    )
+    if len(s.gt_t_us):
+        np.testing.assert_array_equal(s.gt_t_us, s2.gt_t_us)
+        np.testing.assert_allclose(s.gt_T_w_wheel, s2.gt_T_w_wheel, atol=1e-5)
+        # derived IMU-frame gt = T_w_wheel @ inv(T_imu_to_wheel)
+        want = s.gt_T_w_wheel @ np.linalg.inv(T_iw)
+        np.testing.assert_allclose(s2.gt_T_w_imu, want, atol=1e-5)
+
+
 def test_openloris_text_loader(tmp_path):
     # synthesize a tiny sequence in the text layout and load it
     d = tmp_path / "seq"

@@ -51,6 +51,7 @@ class StaticCfg(NamedTuple):
     ref_n_accumulation: int
     fast_mode: bool
     solver_max_iterations: int
+    solver_method: str
 
 
 class DynCfg(NamedTuple):
@@ -81,6 +82,7 @@ def make_static_cfg(params) -> StaticCfg:
         ref_n_accumulation=params.ref_n_accumulation,
         fast_mode=params.fast_mode,
         solver_max_iterations=params.solver_max_iterations,
+        solver_method=params.solver_method,
     )
 
 
@@ -321,7 +323,7 @@ def tracking_step(
         res_fn,
         win.flat(),
         free,
-        gn.LMConfig(max_iters=scfg.solver_max_iterations),
+        gn.LMConfig(max_iters=scfg.solver_max_iterations, method=scfg.solver_method),
         wrap_fn=lambda x: _wrap_q(x, W_TRACK, dtype),
     )
     win = fac.WindowState.from_flat(x_opt, W_TRACK)

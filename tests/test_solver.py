@@ -170,6 +170,49 @@ def test_lm_recovers_perturbed_frame():
     assert abs(x_opt[17] - np.asarray(x_true)[17]) < 0.02
 
 
+def test_lm_chol_matches_qr_on_tracking_problem():
+    # the normal-equations path must land on the same optimum as the QR
+    # path on a realistic whitened problem (laser rows weighted ~3e3)
+    st, d, _, _ = two_frame_setup()
+    rng = np.random.default_rng(7)
+    M = d.laser_l1p1.shape[0]
+    # synthetic wall lines observed from both frames (exactly consistent)
+    ang = rng.uniform(0, np.pi, M)
+    c0 = rng.uniform(-3, 3, (M, 2))
+    u = np.stack([np.cos(ang), np.sin(ang)], -1)
+    w1 = np.concatenate([c0 - u, np.zeros((M, 1))], -1)
+    w2 = np.concatenate([c0 + u, np.zeros((M, 1))], -1)
+    Til = np.asarray(CONSTS.T_imu_to_laser)
+    T0 = np.asarray(geo.make_tf(st.p[0], st.q[0])) @ Til
+    T1 = np.asarray(geo.make_tf(st.p[1], st.q[1])) @ Til
+    to = lambda T, w: (np.linalg.inv(T) @ np.concatenate([w, np.ones((M, 1))], -1).T).T[:, :3]
+    d = d._replace(
+        laser_l1p1=jnp.asarray(to(T0, w1), jnp.float32),
+        laser_l1p2=jnp.asarray(to(T0, w2), jnp.float32),
+        laser_l2p1=jnp.asarray(to(T1, w1), jnp.float32),
+        laser_l2p2=jnp.asarray(to(T1, w2), jnp.float32),
+        laser_ref_p=jnp.tile(st.p[0][None], (M, 1)),
+        laser_ref_q=jnp.tile(st.q[0][None], (M, 1)),
+        laser_valid=jnp.ones(M, bool),
+    )
+    x0 = np.asarray(st.flat()).copy()
+    x0[15:18] += [0.04, -0.03, 0.01]
+    x0[18:21] += [0.01, -0.01, 0.02]
+    free = np.zeros(30, np.float32)
+    free[15:] = 1.0
+    res_fn = lambda x: fac.stack_residuals(fac.WindowState.from_flat(x, 2), d, CONSTS)
+    sols = {}
+    for m in ("qr", "chol"):
+        x_opt, cost, _ = jax.jit(
+            lambda x, m=m: gn.lm_solve(
+                res_fn, x, jnp.asarray(free), gn.LMConfig(max_iters=12, method=m)
+            )
+        )(jnp.asarray(x0, jnp.float32))
+        sols[m] = (np.asarray(x_opt), float(cost))
+    np.testing.assert_allclose(sols["chol"][0], sols["qr"][0], atol=2e-4)
+    assert abs(sols["chol"][1] - sols["qr"][1]) < 0.02 * max(sols["qr"][1], 1.0)
+
+
 def test_lm_simple_quadratic():
     A = jnp.asarray(np.random.default_rng(0).normal(size=(10, 4)), jnp.float32)
     b = jnp.asarray(np.random.default_rng(1).normal(size=(10,)), jnp.float32)

@@ -295,11 +295,8 @@ def _wheel_integrate(c: WheelCarry, dt) -> WheelCarry:
     )
 
 
-def wheel_add_samples(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
-    """Feed padded absolute odometry poses (add_wheel_odom_measure each).
-
-    poses: (N,4,4); t_us: (N,) int64; mask: (N,) bool.
-    """
+def _wheel_add_samples_scan(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
+    """Reference-shaped sequential form (oracle for the vectorized path)."""
 
     def step(c: WheelCarry, inp):
         pose, t, m = inp
@@ -336,8 +333,88 @@ def wheel_add_samples(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
         )
         return c_out, None
 
-    c, _ = jax.lax.scan(step, c, (poses, t_us, mask))
+    c, _ = jax.lax.scan(step, c, (poses, t_us, mask), unroll=True)
     return c
+
+
+def wheel_add_samples(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
+    """Feed padded absolute odometry poses (add_wheel_odom_measure each,
+    wheel_odom_preintegration.h:62-97).
+
+    poses: (N,4,4); t_us: (N,) int64; mask: (N,) bool.
+
+    TPU-native form: the only genuinely sequential part of the reference's
+    per-sample loop is the 50 ms acceptance thinning (each accept decision
+    depends on the previously accepted stamp), which is a handful of
+    SCALAR ops — done in an unrolled scan.  All the SE3 work (relative
+    pose, log, twist, delta integration) is then batched over samples in
+    one fused pass, and the ordered product of per-sample deltas is a
+    log-depth ``associative_scan`` of 4x4 matmuls.  Semantics are
+    bit-matched to ``_wheel_add_samples_scan`` (parity-tested).
+    """
+    dtype = c.delta_T.dtype
+    N = poses.shape[0]
+
+    # ---- phase 1: scalar acceptance chain -------------------------------
+    # carry: (last_pose_t, last_update_t, setter_idx, has_sample)
+    # setter_idx = index of the sample that currently provides last_pose
+    # (-1 = the incoming carry's last_pose)
+    def sel(carry, inp):
+        lp_t, lu_t, setter, has = carry
+        k, t, m = inp
+        dt_pose = (t - lp_t).astype(dtype) * US
+        accept = m & has & (dt_pose >= 0.05)
+        prime = m & jnp.logical_not(has)
+        set_now = accept | prime
+        out = (accept, setter, dt_pose, (t - lu_t).astype(dtype) * US)
+        lp_t = jnp.where(set_now, t, lp_t)
+        lu_t = jnp.where(set_now, t, lu_t)
+        setter = jnp.where(set_now, k, setter)
+        has = has | m
+        return (lp_t, lu_t, setter, has), out
+
+    (lp_t_f, lu_t_f, setter_f, has_f), (accept, prev_idx, dt_pose, update_dt) = (
+        jax.lax.scan(
+            sel,
+            (c.last_pose_t_us, c.last_update_t_us, jnp.asarray(-1, jnp.int32), c.has_sample),
+            (jnp.arange(N, dtype=jnp.int32), t_us, mask),
+            unroll=True,
+        )
+    )
+
+    # ---- phase 2: batched SE3 over samples ------------------------------
+    prev_pose = jnp.where(
+        (prev_idx >= 0)[:, None, None],
+        poses[jnp.clip(prev_idx, 0, N - 1)],
+        c.last_pose[None],
+    )
+    rel = jax.vmap(lambda a, b: geo.tf_inv(a) @ b)(prev_pose, poses)
+    dp, dth = jax.vmap(geo.log_SE3)(rel)
+    safe_dt = jnp.maximum(dt_pose, 1e-6)[:, None]
+    v = dp / safe_dt
+    w = dth / safe_dt
+    ok = accept & (update_dt > 0.0) & (update_dt < 10.0)
+    delta = jax.vmap(geo.make_tf)(v * update_dt[:, None], w * update_dt[:, None])
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (N, 4, 4))
+    delta = jnp.where(ok[:, None, None], delta, eye)
+    total = jax.lax.associative_scan(jnp.matmul, delta)[-1]
+
+    # ---- stitch the new carry -------------------------------------------
+    last_acc = jnp.max(jnp.where(accept, jnp.arange(N, dtype=jnp.int32), -1))
+    any_acc = last_acc >= 0
+    la = jnp.clip(last_acc, 0, N - 1)
+    setter_ok = setter_f >= 0
+    sf = jnp.clip(setter_f, 0, N - 1)
+    return WheelCarry(
+        delta_T=c.delta_T @ total,
+        v=jnp.where(any_acc, v[la], c.v),
+        omega=jnp.where(any_acc, w[la], c.omega),
+        last_pose=jnp.where(setter_ok, poses[sf], c.last_pose),
+        last_pose_t_us=lp_t_f,
+        last_update_t_us=lu_t_f,
+        Dt=c.Dt + jnp.sum(jnp.where(ok, update_dt, 0.0)),
+        has_sample=has_f,
+    )
 
 
 def wheel_update_only_t(c: WheelCarry, t_us) -> WheelCarry:

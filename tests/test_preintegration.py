@@ -163,6 +163,47 @@ def test_wheel_result_covariance_scaling():
     assert W[2, 2] > 0.01
 
 
+def test_wheel_vectorized_matches_sequential_oracle():
+    # the batched path must bit-match the reference-shaped scan on messy
+    # inputs: padding masks, sub-50ms pairs, priming from a fresh carry,
+    # and continuation from a mid-stream carry
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = 12
+        dts = rng.choice([0.01, 0.03, 0.06, 0.12], n)
+        ts = jnp.asarray((np.cumsum(dts) * 1e6).astype(np.int64))
+        T = np.eye(4)
+        poses = []
+        for k in range(n):
+            step = np.asarray(
+                geo.make_tf(
+                    jnp.asarray(rng.normal(0, 0.05, 3) * [1, 1, 0], jnp.float32),
+                    jnp.asarray([0, 0, rng.normal(0, 0.1)], jnp.float32),
+                )
+            )
+            T = T @ step
+            poses.append(T.copy())
+        poses = jnp.asarray(np.stack(poses), jnp.float32)
+        m = jnp.asarray(rng.random(n) > 0.25)
+        carries = [pre.wheel_reset(0)]
+        if trial >= 3:  # continue from a primed carry with history
+            c0 = pre.wheel_add_samples(
+                pre.wheel_reset(0), poses[:4], ts[:4], m[:4]
+            )
+            carries = [c0]
+            poses, ts, m = poses[4:], ts[4:], m[4:]
+        for c in carries:
+            a = pre.wheel_add_samples(c, poses, ts, m)
+            b = pre._wheel_add_samples_scan(c, poses, ts, m)
+            for name in a._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(a, name), np.float64),
+                    np.asarray(getattr(b, name), np.float64),
+                    atol=1e-5,
+                    err_msg=f"trial {trial} field {name}",
+                )
+
+
 def test_wheel_frame_reset_preserves_pose_track():
     poses, ts, m = make_wheel_track([0.5, 0, 0], 0.2, 21, 10.0)
     c = pre.wheel_reset(0)

@@ -319,12 +319,13 @@ def tracking_step(
     free = free.at[6:9].set(1.0)  # frame-0 velocity (never frozen)
     if not scfg.fast_mode:
         free = free.at[9:15].set(1.0)  # frame-0 biases free unless fast
-    x_opt, cost, _ = gn.lm_solve(
+    x_opt, cost, _, lin_opt = gn.lm_solve(
         res_fn,
         win.flat(),
         free,
         gn.LMConfig(max_iters=scfg.solver_max_iterations, method=scfg.solver_method),
         wrap_fn=lambda x: _wrap_q(x, W_TRACK, dtype),
+        return_lin=True,
     )
     win = fac.WindowState.from_flat(x_opt, W_TRACK)
     new_p, new_q, new_v, new_bs = win.p[-1], win.q[-1], win.v[-1], win.bs[-1]
@@ -338,7 +339,7 @@ def tracking_step(
             jnp.asarray(False),
         )
     else:
-        lin_J, lin_res, lin_X = gn.marginalize(res_fn, x_opt, keep=15)
+        lin_J, lin_res, lin_X = gn.marginalize(res_fn, x_opt, keep=15, lin=lin_opt)
         prior_J, prior_X, prior_res = lin_J, lin_X, lin_res
         prior_valid = jnp.asarray(True)
 

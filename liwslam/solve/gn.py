@@ -109,37 +109,40 @@ def lm_solve(
     free_mask: jnp.ndarray,
     cfg: LMConfig = LMConfig(),
     wrap_fn: Callable = None,
+    return_lin: bool = False,
 ):
     """Minimize |res_fn(x)|^2 over x (free components only).
 
     res_fn: flat x -> flat residual (differentiable).
     free_mask: (D,) 1.0 free / 0.0 frozen.
     wrap_fn: optional post-update normalization (angle wrap).
-    Returns (x_opt, final_cost, n_iters).
+    Returns (x_opt, final_cost, n_iters); with ``return_lin=True`` also
+    the (r, J) linearization AT x_opt — carried out of the loop for free
+    (each iteration linearizes at its trial point anyway), so callers
+    like marginalization need no extra Jacobian pass.
     """
     dtype = x0.dtype
     free_mask = free_mask.astype(dtype)
 
-    def cost(x):
-        r = res_fn(x)
-        return 0.5 * jnp.sum(r * r)
-
     step_fn = _damped_step_chol if cfg.method == "chol" else _damped_step
 
+    # invariant: (x, r, J, c0) always correspond to the best-so-far point
     def body(carry):
-        x, lam, c0, it, done = carry
-        r, Jm = _linearize(res_fn, x)
-        dx = step_fn(Jm, r, lam, free_mask, dtype)
-        x_new = x + dx
+        x, r, J, lam, c0, it, done = carry
+        dx = step_fn(J, r, lam, free_mask, dtype)
+        x_t = x + dx
         if wrap_fn is not None:
-            x_new = wrap_fn(x_new)
-        c_new = cost(x_new)
-        accept = c_new < c0
-        x = jnp.where(accept, x_new, x)
-        c1 = jnp.where(accept, c_new, c0)
+            x_t = wrap_fn(x_t)
+        r_t, J_t = _linearize(res_fn, x_t)
+        c_t = 0.5 * jnp.sum(r_t * r_t)
+        accept = c_t < c0
+        x = jnp.where(accept, x_t, x)
+        r = jnp.where(accept, r_t, r)
+        J = jnp.where(accept, J_t, J)
+        c1 = jnp.where(accept, c_t, c0)
         lam = jnp.where(accept, lam * cfg.lam_down, lam * cfg.lam_up)
         lam = jnp.clip(lam, cfg.lam_min, cfg.lam_max)
-        rel_change = jnp.abs(c0 - c_new) / jnp.maximum(c0, 1e-20)
+        rel_change = jnp.abs(c0 - c_t) / jnp.maximum(c0, 1e-20)
         # termination (Ceres semantics, f32-aware): function_tolerance on
         # the trial step's |cost change| (accepted or not — see ftol
         # docstring); parameter_tolerance on the proposed step size; stall
@@ -147,20 +150,25 @@ def lm_solve(
         xtol_hit = jnp.max(jnp.abs(dx)) < cfg.xtol * (jnp.max(jnp.abs(x)) + cfg.xtol)
         stalled = jnp.logical_not(accept) & (lam >= cfg.lam_max)
         done = (rel_change < cfg.ftol) | xtol_hit | stalled
-        return (x, lam, c1, it + 1, done)
+        return (x, r, J, lam, c1, it + 1, done)
 
     def cond(carry):
-        _, _, _, it, done = carry
+        it, done = carry[5], carry[6]
         return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(done))
 
-    c0 = cost(x0)
-    x, lam, c_fin, iters, _ = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(cfg.lam_init, dtype), c0, jnp.asarray(0), jnp.asarray(False))
+    r0, J0 = _linearize(res_fn, x0)
+    c0 = 0.5 * jnp.sum(r0 * r0)
+    x, r_f, J_f, lam, c_fin, iters, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, r0, J0, jnp.asarray(cfg.lam_init, dtype), c0, jnp.asarray(0), jnp.asarray(False)),
     )
+    if return_lin:
+        return x, c_fin, iters, (r_f, J_f)
     return x, c_fin, iters
 
 
-def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int):
+def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int, lin=None):
     """Schur-complement marginalization (solver.cpp:4-40, 257-442).
 
     Linearizes ``res_fn`` at ``x`` over ALL variables, eliminates all but
@@ -174,7 +182,7 @@ def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int):
     Returns (lin_J (keep,keep), lin_res (keep,), lin_X (keep,)).
     """
     dtype = x.dtype
-    r, Jm = _linearize(res_fn, x)
+    r, Jm = _linearize(res_fn, x) if lin is None else lin
     H = Jm.T @ Jm
     g = -(Jm.T @ r)
     D = x.shape[0]

@@ -113,7 +113,20 @@ def extract_features(
             (gap <= continuous_threshold) & valid[1:] & valid[:-1],
         ]
     )
-    seg_id = jnp.cumsum(jnp.logical_not(cont).astype(jnp.int32))
+    # one fused prefix pass: [seg-break count | point moments].  f32 counts
+    # are exact below 2^24; every log-depth scan pass on TPU costs ~10-20
+    # sequential kernels, so fusing independent scans matters more than
+    # dtype purity (measured ~0.1 ms/frame per scan saved).
+    m = valid.astype(dtype)[:, None]
+    x = xy[:, 0:1] * m
+    y = xy[:, 1:2] * m
+    cols = jnp.concatenate(
+        [jnp.logical_not(cont).astype(dtype)[:, None], x, y, x * x, x * y, y * y, m],
+        axis=1,
+    )
+    cs7 = jnp.cumsum(cols, 0)
+    seg_id = cs7[:, 0].astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((1, 6), dtype), cs7[:, 1:7]], 0)
     seg_start = jax.ops.segment_min(idx, seg_id, num_segments=N + 1)[seg_id]
     seg_end = jax.ops.segment_max(idx, seg_id, num_segments=N + 1)[seg_id]
 
@@ -143,13 +156,15 @@ def extract_features(
     is_bp = is_max | ((idx == seg_start) | (idx == seg_end)) & valid
 
     # --- 3b. merge near-collinear joints --------------------------------
-    # previous / next breakpoint index for every point (within segment)
-    bp_idx_fwd = jnp.where(is_bp, idx, -1)
-    prev_bp = jax.lax.associative_scan(jnp.maximum, bp_idx_fwd)
-    bp_idx_bwd = jnp.where(is_bp, idx, N + 1)
-    next_bp = jax.lax.associative_scan(
-        jnp.minimum, bp_idx_bwd, reverse=True
+    # previous / next breakpoint index for every point (within segment).
+    # Both directions in ONE packed scan: reverse-min(b) equals the
+    # negated forward-cummax of -b reversed.
+    packed = jnp.stack(
+        [jnp.where(is_bp, idx, -1), -jnp.where(is_bp, idx, N + 1)[::-1]], -1
     )
+    pm = jax.lax.associative_scan(jnp.maximum, packed, axis=0)
+    prev_bp = pm[:, 0]
+    next_bp = -pm[::-1, 1]
 
     # for a bp at i: prev bp strictly before, next bp strictly after
     prev_of = jnp.where(idx > 0, prev_bp[jnp.maximum(idx - 1, 0)], -1)
@@ -170,21 +185,20 @@ def extract_features(
     keep_bp = is_bp & (is_endpoint | survives | ~(has_prev & has_next))
 
     # --- 4. candidate spans between consecutive kept breakpoints ---------
-    kept_next = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(keep_bp, idx, N + 1), reverse=True
+    # same packed-scan trick: [prev kept (fwd max) | next kept (rev min)]
+    packed2 = jnp.stack(
+        [jnp.where(keep_bp, idx, -1), -jnp.where(keep_bp, idx, N + 1)[::-1]], -1
     )
+    pm2 = jax.lax.associative_scan(jnp.maximum, packed2, axis=0)
+    prev_kept = pm2[:, 0]
+    kept_next = -pm2[::-1, 1]
     span_end = jnp.where(idx < N - 1, kept_next[jnp.minimum(idx + 1, N - 1)], N + 1)
     cand_valid = keep_bp & (span_end <= N - 1) & (span_end - idx >= 2)
     cand_valid = cand_valid & (seg_id[jnp.clip(span_end, 0, N - 1)] == seg_id) & valid
     i1 = idx
     i2 = jnp.clip(span_end, 0, N - 1)
 
-    # prefix sums of point moments (leading zero row)
-    m = valid.astype(dtype)[:, None]
-    x = xy[:, 0:1] * m
-    y = xy[:, 1:2] * m
-    moments = jnp.concatenate([x, y, x * x, x * y, y * y, m], axis=1)
-    cs = jnp.concatenate([jnp.zeros((1, 6), dtype), jnp.cumsum(moments, 0)], 0)
+    # range queries over the prefix-summed moments computed in step 1
     S = _range_sum(cs, i1, i2)  # (N,6): sx sy sxx sxy syy n
     n = jnp.maximum(S[:, 5], 1.0)
     mx, my = S[:, 0] / n, S[:, 1] / n
@@ -216,8 +230,8 @@ def extract_features(
     length = jnp.linalg.norm(e2 - e1, axis=-1)
 
     # per-point distance to its own span's line -> segment_max per span
-    # (a span is identified by its starting kept breakpoint)
-    prev_kept = jax.lax.associative_scan(jnp.maximum, jnp.where(keep_bp, idx, -1))
+    # (a span is identified by its starting kept breakpoint; prev_kept
+    # comes from the packed scan in step 4)
     own_span = jnp.clip(prev_kept, 0, N - 1)
     d_own = jnp.abs(
         jnp.sum(xy * nvec[own_span], -1) + cc[own_span]

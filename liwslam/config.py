@@ -142,9 +142,10 @@ class Params:
     loop_probe_count: int = 5  # match_map probes (keyframe_manager.cpp:1139)
     solver_max_iterations: int = 10  # LM iterations (fast_mode cap, solver.cpp:801)
     init_solver_max_iterations: int = 50
-    # tracking LM step solver: "chol" (normal eqs + 30x30 Cholesky, ~2x
-    # faster per iteration on TPU) or "qr" (augmented LSQ, best
-    # conditioning); init solve and pose graph always use "qr"
+    # tracking LM step solver: "pallas" (whole LM + Schur reduction as ONE
+    # TPU kernel, ops/track_solve.py), "chol" (XLA normal eqs + 30x30
+    # Cholesky), or "qr" (augmented LSQ, best conditioning); init solve
+    # and pose graph always use "qr"
     solver_method: str = "chol"
     dtype: str = "float32"  # device dtype for the solve path
 

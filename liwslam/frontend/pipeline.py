@@ -311,37 +311,66 @@ def tracking_step(
         bs=jnp.stack([cur_bs, cur_bs]),
     )
     data = _build_factor_data(state, imu_res, wheel_res, match, scfg, dtype)
-    res_fn = lambda x: fac.stack_residuals(
-        fac.WindowState.from_flat(x, W_TRACK), data, consts
-    )
     free = jnp.zeros(W_TRACK * 15, dtype)
     free = free.at[15:].set(1.0)  # last frame fully free
     free = free.at[6:9].set(1.0)  # frame-0 velocity (never frozen)
     if not scfg.fast_mode:
         free = free.at[9:15].set(1.0)  # frame-0 biases free unless fast
-    x_opt, cost, _, lin_opt = gn.lm_solve(
-        res_fn,
-        win.flat(),
-        free,
-        gn.LMConfig(max_iters=scfg.solver_max_iterations, method=scfg.solver_method),
-        wrap_fn=lambda x: _wrap_q(x, W_TRACK, dtype),
-        return_lin=True,
-    )
+
+    if scfg.solver_method == "pallas":
+        # one-kernel LM + Schur reduction (ops/track_solve); interpret
+        # mode on non-TPU backends so CPU tests drive the same math
+        from liwslam.ops import track_solve
+
+        x_opt, cost, dH, dg = track_solve.lm_solve_track(
+            win.flat(),
+            free,
+            data,
+            consts,
+            max_iters=scfg.solver_max_iterations,
+            interpret=jax.default_backend() != "tpu",
+        )
+        if scfg.fast_mode:
+            prior_J, prior_X, prior_res, prior_valid = (
+                state.prior_J,
+                state.prior_X,
+                state.prior_res,
+                jnp.asarray(False),
+            )
+        else:
+            prior_J, prior_res = gn.sqrt_prior(dH, dg)
+            prior_X = x_opt[15:]
+            prior_valid = jnp.asarray(True)
+    else:
+        res_fn = lambda x: fac.stack_residuals(
+            fac.WindowState.from_flat(x, W_TRACK), data, consts
+        )
+        x_opt, cost, _, lin_opt = gn.lm_solve(
+            res_fn,
+            win.flat(),
+            free,
+            gn.LMConfig(
+                max_iters=scfg.solver_max_iterations, method=scfg.solver_method
+            ),
+            wrap_fn=lambda x: _wrap_q(x, W_TRACK, dtype),
+            return_lin=True,
+        )
+        # --- 7. marginalization prior (solver.cpp:257-442) -----------------
+        if scfg.fast_mode:
+            prior_J, prior_X, prior_res, prior_valid = (
+                state.prior_J,
+                state.prior_X,
+                state.prior_res,
+                jnp.asarray(False),
+            )
+        else:
+            lin_J, lin_res, lin_X = gn.marginalize(
+                res_fn, x_opt, keep=15, lin=lin_opt
+            )
+            prior_J, prior_X, prior_res = lin_J, lin_X, lin_res
+            prior_valid = jnp.asarray(True)
     win = fac.WindowState.from_flat(x_opt, W_TRACK)
     new_p, new_q, new_v, new_bs = win.p[-1], win.q[-1], win.v[-1], win.bs[-1]
-
-    # --- 7. marginalization prior for the next frame (solver.cpp:257-442)
-    if scfg.fast_mode:
-        prior_J, prior_X, prior_res, prior_valid = (
-            state.prior_J,
-            state.prior_X,
-            state.prior_res,
-            jnp.asarray(False),
-        )
-    else:
-        lin_J, lin_res, lin_X = gn.marginalize(res_fn, x_opt, keep=15, lin=lin_opt)
-        prior_J, prior_X, prior_res = lin_J, lin_X, lin_res
-        prior_valid = jnp.asarray(True)
 
     # --- 8. keyframe decision (trajectory.cpp:247-270) ---------------------
     cur_laser_T = geo.make_tf(new_p, new_q) @ Til

@@ -193,11 +193,25 @@ def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int, lin=None):
     Hrr = H[m:, m:]
     gm = g[:m]
     gr = g[m:]
-    # solve instead of explicit inverse; tiny jitter guards f32 singularity
+    # solve instead of explicit inverse; tiny jitter guards f32 singularity,
+    # Jacobi equilibration keeps the f32 solve accurate at cond ~1e9
     Hmm = Hmm + 1e-8 * jnp.eye(m, dtype=dtype)
-    sol = jnp.linalg.solve(Hmm, jnp.concatenate([Hmr, gm[:, None]], 1))
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(Hmm), 1e-20))
+    sol = s[:, None] * jnp.linalg.solve(
+        Hmm * s[:, None] * s[None, :],
+        s[:, None] * jnp.concatenate([Hmr, gm[:, None]], 1),
+    )
     dH = Hrr - Hrm @ sol[:, :keep]
     dg = gr - Hrm @ sol[:, keep]
+    lin_J, lin_res = sqrt_prior(dH, dg)
+    lin_X = x[m:]
+    return lin_J, lin_res, lin_X
+
+
+def sqrt_prior(dH, dg):
+    """Square-root prior from a Schur-reduced (information, gradient) pair
+    — the eigendecomposition tail of ``marginalize`` (solver.cpp:390-405),
+    split out so a kernel-computed dH/dg can reuse it."""
     dH = 0.5 * (dH + dH.T)
     eps = 1e-8
     S, V = jnp.linalg.eigh(dH)
@@ -205,5 +219,4 @@ def marginalize(res_fn: Callable, x: jnp.ndarray, keep: int, lin=None):
     S_inv = jnp.where(S > eps, 1.0 / S, 0.0)
     lin_J = jnp.sqrt(S_cl)[:, None] * V.T
     lin_res = -(jnp.sqrt(S_inv)[:, None] * V.T @ dg)
-    lin_X = x[m:]
-    return lin_J, lin_res, lin_X
+    return lin_J, lin_res

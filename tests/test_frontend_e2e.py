@@ -65,6 +65,23 @@ def test_frontend_keyframes_and_corners(run_L):
     assert allc, "no corners accumulated"
 
 
+def test_frontend_tracks_L_pallas_solver(run_L):
+    # same sequence through the one-kernel tracking solve (interpret mode
+    # on CPU); must meet the same ATE gate as the XLA solver path
+    prm, streams, res_ref = run_L
+    fe = Frontend(prm.replace(solver_method="pallas"))
+    res = fe.run(streams, chunk_size=16)
+    est = res.T_w_imu()
+    pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate = metrics.ate_rmse(est, gt, align=False)
+    assert ate < 0.1, f"ATE {ate}"
+    # and closely shadow the XLA-path trajectory
+    n = min(len(res.p), len(res_ref.p))
+    drift = np.linalg.norm(res.p[:n] - res_ref.p[:n], axis=1)
+    assert np.median(drift) < 0.05, drift.max()
+
+
 def test_frontend_velocity_estimate(run_L):
     prm, streams, res = run_L
     # cruising speed 0.3 m/s in the straight legs

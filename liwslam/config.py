@@ -142,11 +142,12 @@ class Params:
     loop_probe_count: int = 5  # match_map probes (keyframe_manager.cpp:1139)
     solver_max_iterations: int = 10  # LM iterations (fast_mode cap, solver.cpp:801)
     init_solver_max_iterations: int = 50
-    # tracking LM step solver: "pallas" (whole LM + Schur reduction as ONE
-    # TPU kernel, ops/track_solve.py), "chol" (XLA normal eqs + 30x30
-    # Cholesky), or "qr" (augmented LSQ, best conditioning); init solve
-    # and pose graph always use "qr"
-    solver_method: str = "chol"
+    # tracking LM step solver: "auto" (pallas on TPU, chol elsewhere),
+    # "pallas" (whole LM + Schur reduction as ONE TPU kernel,
+    # ops/track_solve.py; measured 1.41 vs 1.91 ms/frame against chol),
+    # "chol" (XLA normal eqs + 30x30 Cholesky), or "qr" (augmented LSQ,
+    # best conditioning); init solve and pose graph always use "qr"
+    solver_method: str = "auto"
     dtype: str = "float32"  # device dtype for the solve path
 
     # ------------------------------------------------------------------

@@ -317,7 +317,13 @@ def tracking_step(
     if not scfg.fast_mode:
         free = free.at[9:15].set(1.0)  # frame-0 biases free unless fast
 
-    if scfg.solver_method == "pallas":
+    method = scfg.solver_method
+    if method == "auto":
+        # trace-time resolution: the one-kernel pallas solve wins on TPU
+        # (1.41 vs 1.91 ms/frame measured); XLA chol elsewhere (pallas
+        # interpret mode on CPU is far slower than the native XLA path)
+        method = "pallas" if jax.default_backend() == "tpu" else "chol"
+    if method == "pallas":
         # one-kernel LM + Schur reduction (ops/track_solve); interpret
         # mode on non-TPU backends so CPU tests drive the same math
         from liwslam.ops import track_solve
@@ -350,7 +356,7 @@ def tracking_step(
             win.flat(),
             free,
             gn.LMConfig(
-                max_iters=scfg.solver_max_iterations, method=scfg.solver_method
+                max_iters=scfg.solver_max_iterations, method=method
             ),
             wrap_fn=lambda x: _wrap_q(x, W_TRACK, dtype),
             return_lin=True,

@@ -112,7 +112,10 @@ def test_kernel_residual_matches_stack():
         np.asarray(state), np.asarray(imu_in), np.asarray(prior_in),
         np.asarray(laser_in), laser_in.shape[0],
     )
-    r_kernel = np.asarray(res(x0))
+    # the kernel residual returns per-factor blocks (imu, wheel, laser
+    # endpoint-1, laser endpoint-2, ground f0, ground f1, prior); the
+    # stacked vector never exists on device — stack it here
+    r_kernel = np.concatenate([np.atleast_1d(np.asarray(b)) for b in res(x0)])
     r_ref = np.asarray(
         fac.stack_residuals(fac.WindowState.from_flat(x0, 2), d, CONSTS)
     )
@@ -120,8 +123,12 @@ def test_kernel_residual_matches_stack():
     # flat, ground (2,2) flat, prior (15,) — frame-0 imu/wheel rows zero
     M = d.laser_l1p1.shape[0]
     o = 36 + 2 * M
+    # the kernel emits laser rows BLOCKED ([all endpoint-1 | all
+    # endpoint-2]; Mosaic cannot reshape (M,2)->(2M,)) where
+    # stack_residuals interleaves — permute the reference to match
+    laser_ref = r_ref[36:o].reshape(M, 2).T.reshape(-1)
     want = np.concatenate(
-        [r_ref[15:30], r_ref[33:36], r_ref[36:o], r_ref[o : o + 4], r_ref[o + 4 :]]
+        [r_ref[15:30], r_ref[33:36], laser_ref, r_ref[o : o + 4], r_ref[o + 4 :]]
     )
     np.testing.assert_allclose(r_kernel, want, rtol=2e-4, atol=1e-4)
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from liwslam.core import geometry as geo
+from liwslam.core import hostmath
 from liwslam.frontend.scan import ScanFeatures, _point_segment_dist
 
 _EPS = 1e-8
@@ -180,6 +181,7 @@ class SubmapPair(NamedTuple):
     last_add_T: jnp.ndarray  # (4,4)
 
 
+@hostmath.setup_fn
 def empty_pair(capacity: int, dtype=jnp.float32) -> SubmapPair:
     return SubmapPair(
         ref=empty_submap(capacity, dtype),
@@ -205,6 +207,9 @@ def add_scan(
     motion_filter_q: float,
 ) -> SubmapPair:
     """add_scan (laser_manager.cpp:424-496), branch-free."""
+    # constructors return HOST numpy state (hostmath.setup_fn); coerce so
+    # eager (un-jitted) use still gets .at[] — identity under jit
+    pair = jax.tree_util.tree_map(jnp.asarray, pair)
     dtype = scan.p1.dtype
     capacity = pair.ref.p1.shape[0]
     Til = jnp.asarray(T_imu_to_laser, dtype)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from liwslam.core import geometry as geo
+from liwslam.core import hostmath
 from liwslam.frontend import matching as mm
 from liwslam.frontend import preintegration as pre
 from liwslam.frontend import scan as scan_mod
@@ -86,6 +87,7 @@ def make_static_cfg(params) -> StaticCfg:
     )
 
 
+@hostmath.setup_fn
 def make_dyn_cfg(params, dtype=jnp.float32) -> DynCfg:
     return DynCfg(
         line_continuous_threshold=jnp.asarray(params.line_continuous_threshold, dtype),
@@ -157,6 +159,7 @@ class FrameOutput(NamedTuple):
     scan_line_valid: jnp.ndarray
 
 
+@hostmath.setup_fn
 def init_track_state(p0, q0, v0, bs0, scfg: StaticCfg, dtype=jnp.float32) -> TrackState:
     win = fac.WindowState(
         p=jnp.tile(jnp.asarray(p0, dtype)[None], (W_TRACK, 1)),

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from liwslam.core import geometry as geo
+from liwslam.core import hostmath
 
 _EPS = 1e-8
 
@@ -70,6 +71,7 @@ class SolveConsts(NamedTuple):
     ground_q_info: jnp.ndarray  # () = 1/manifold_q_sigma
 
 
+@hostmath.setup_fn
 def make_consts(params, dtype=jnp.float32) -> SolveConsts:
     return SolveConsts(
         T_imu_to_wheel=jnp.asarray(params.mat_T_imu_to_wheel(), dtype),

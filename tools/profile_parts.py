@@ -65,6 +65,9 @@ def main():
     fe = Frontend(prm)
     frames, lt = fe.pack_frames(streams)
     track, k0, _, _ = fe.initialize(frames, lt)
+    # constructors return host numpy (hostmath); stage lambdas CLOSE OVER
+    # pieces of track, and closure numpy lacks .at[] — coerce once
+    track = jax.tree_util.tree_map(jnp.asarray, track)
     batch = jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.stack(xs)), *frames[k0 : k0 + CH]
     )

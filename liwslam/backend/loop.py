@@ -171,7 +171,11 @@ def score_pairs(
         hist = jnp.sum(
             bitsmat.reshape(P, NW * 32).astype(jnp.int32), axis=0
         )[:n_angle_bins]  # (A,)
-        best_bin = jnp.argmax(hist).astype(jnp.int32)
+        # deterministic lowest-index tie-break: XLA argmax picks the first
+        # max but Mosaic (the pallas variant) may not — bias each count by
+        # its negative index so ties resolve identically on every backend
+        A = hist.shape[0]
+        best_bin = jnp.argmax(hist * (A + 1) - jnp.arange(A)).astype(jnp.int32)
         best_cnt = hist[best_bin] + 1  # + the root pair itself
         ok = (inter >= min_match_threshold) & m1.valid[i] & m2.valid[j]
         return jnp.where(ok, best_cnt, 0), best_bin
@@ -235,16 +239,39 @@ def kabsch_2d(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
     return T
 
 
+def densify_lines(p1, p2, step):
+    """Sample points along line segments every ``step`` meters (endpoints
+    included).  Host numpy; used to turn stored keyframe line endpoints back
+    into a scan-like point set for overlap verification."""
+    p1 = np.asarray(p1, np.float64).reshape(-1, 3)
+    p2 = np.asarray(p2, np.float64).reshape(-1, 3)
+    if len(p1) == 0:
+        return np.zeros((0, 3))
+    out = []
+    for a, b in zip(p1, p2):
+        n = max(2, int(np.linalg.norm((b - a)[:2]) / step) + 1)
+        t = np.linspace(0.0, 1.0, n)[:, None]
+        out.append(a[None] * (1 - t) + b[None] * t)
+    return np.concatenate(out)
+
+
 def verify_loop_overlap(scan1_pts, scan2_pts, T12, resolution, rate):
     """Honest scan-overlap verification.  The reference short-circuits this
-    check to ``true`` (keyframe_manager.cpp:52-54); enable via
-    Params.verify_loop_rate handling in the keyframe manager."""
+    check to ``true`` (keyframe_manager.cpp:52-54); liwslam wires this in the
+    keyframe manager behind ``Params.verify_loop_rate`` (<= 0 reproduces the
+    reference's always-true stub).
+
+    Projected scan-2 points count as hits when their cell OR any of its 8
+    neighbors is occupied by scan 1 (one-cell tolerance absorbs the
+    quantization of a correct alignment)."""
     if len(scan1_pts) == 0 or len(scan2_pts) == 0:
         return False
     q = (T12[:2, :2] @ np.asarray(scan2_pts)[:, :2].T).T + T12[:2, 3]
-    cells1 = set(map(tuple, np.floor(np.asarray(scan1_pts)[:, :2] / resolution).astype(int)))
-    cells2 = list(map(tuple, np.floor(q / resolution).astype(int)))
-    if not cells2:
-        return False
+    c1 = np.floor(np.asarray(scan1_pts)[:, :2] / resolution).astype(np.int64)
+    cells1 = set()
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cells1.update(map(tuple, c1 + np.asarray([dx, dy])))
+    cells2 = list(map(tuple, np.floor(q / resolution).astype(np.int64)))
     hit = sum(1 for c in cells2 if c in cells1)
     return hit / len(cells2) >= rate

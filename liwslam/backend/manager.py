@@ -301,8 +301,37 @@ class KeyframeManager:
                 or float(jnp.linalg.norm(dq)) > prm.loop_max_tf_q
             ):
                 continue
+            if not self._verify_loop(i1, i2, i_t12):
+                continue
             return (i1, i2, i_t12)
         return None
+
+    def _verify_loop(self, i1, i2, i_t12):
+        """Scan-overlap verification (the reference's verify_loop is
+        short-circuited to true, keyframe_manager.cpp:52-54; we implement it
+        honestly behind verify_loop_rate — <= 0 reproduces the stub)."""
+        prm = self.params
+        if prm.verify_loop_rate <= 0:
+            return True
+        kf1, kf2 = self.keyframes[i1], self.keyframes[i2]
+        # no stored scan (non-laser keyframe, or a corners-only producer):
+        # unverifiable — fall back to the reference's always-true behavior
+        if (
+            kf1.scan_lines is None
+            or kf2.scan_lines is None
+            or len(kf1.scan_lines[0]) == 0
+            or len(kf2.scan_lines[0]) == 0
+        ):
+            return True
+        Til = prm.mat_T_imu_to_laser()
+        l_t12 = np.linalg.inv(Til) @ i_t12 @ Til  # laser1 <- laser2
+        step = 2.0 * prm.laser_resolution
+        pts1 = loop_mod.densify_lines(*kf1.scan_lines, step=step)
+        pts2 = loop_mod.densify_lines(*kf2.scan_lines, step=step)
+        return loop_mod.verify_loop_overlap(
+            pts1, pts2, l_t12, resolution=2.0 * prm.laser_resolution,
+            rate=prm.verify_loop_rate,
+        )
 
     # ------------------------------------------------------------------
 

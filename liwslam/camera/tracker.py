@@ -68,6 +68,10 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None):
         existing_xy = jnp.zeros((0, 2), img.dtype)
         existing_valid = jnp.zeros(0, bool)
 
+    # response gate scaled by intensity² (the Shi-Tomasi score is quadratic
+    # in intensity) so 8-bit and [0,1]-normalized images behave alike
+    resp_gate = 1e-4 * jnp.maximum(jnp.max(img), 1.0) ** 2
+
     def body(carry, i):
         chosen, n = carry
         c = cand[i]
@@ -75,7 +79,7 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None):
         ok_new = jnp.all(jnp.where(chosen[:, 2] > 0, d_new >= min_dis, True))
         d_old = jnp.linalg.norm(existing_xy - c[None], axis=-1)
         ok_old = jnp.all(jnp.where(existing_valid, d_old >= min_dis, True))
-        take = ok_new & ok_old & (n < n_max) & (top_v[i] > 1e-4)
+        take = ok_new & ok_old & (n < n_max) & (top_v[i] > resp_gate)
         chosen = jnp.where(
             take,
             chosen.at[n].set(jnp.asarray([c[0], c[1], 1.0], img.dtype)),
@@ -109,10 +113,15 @@ def _bilinear(img, xy):
     )
 
 
-def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3):
+def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3,
+             max_err=0.1):
     """Pyramidal Lucas-Kanade: track pts (N,2) from img0 to img1.
 
-    Returns (new_pts (N,2), ok (N,)).  Fixed shapes, vmapped over tracks."""
+    Returns (new_pts (N,2), ok (N,)).  Fixed shapes, vmapped over tracks.
+
+    ``max_err`` is the mean-absolute-residual acceptance gate expressed as a
+    fraction of the image's dynamic range (estimated as max(1, max(img0)) so
+    both [0,1]-normalized and 8-bit [0,255] inputs verify identically)."""
     pyr0 = [img0]
     pyr1 = [img1]
     for _ in range(levels - 1):
@@ -127,6 +136,11 @@ def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3):
         ),
         -1,
     ).reshape(-1, 2)
+
+    # intensity scale so the verification gate is invariant to 8-bit vs
+    # [0,1]-normalized input (a raw 0.1 absolute threshold silently killed
+    # every track on 8-bit images)
+    err_gate = max_err * jnp.maximum(jnp.max(img0), 1.0)
 
     def track_one(p0):
         d = jnp.zeros(2, img0.dtype)
@@ -165,7 +179,7 @@ def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3):
         err = jnp.mean(jnp.abs(patch0 - patch1))
         H, W = img0.shape
         inb = (p1[0] >= radius) & (p1[0] < W - radius) & (p1[1] >= radius) & (p1[1] < H - radius)
-        return p1, inb & (err < 0.1)
+        return p1, inb & (err < err_gate)
 
     new_pts, ok = jax.vmap(track_one)(pts)
     return new_pts, ok & valid

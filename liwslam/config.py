@@ -322,9 +322,40 @@ def cafe() -> Params:
     )
 
 
+def market() -> Params:
+    """OpenLORIS market sequences.  The reference's launch file
+    (``launch/lvio_2d_market.launch``) points at a ``config/market.yaml``
+    that is MISSING from the reference repository — this preset is liwslam's
+    own composition for that capability: cafe's dynamic-scene settings scaled
+    to the much larger market hall (coarser grid, longer loop search radius,
+    stronger dedup of the bigger corner population)."""
+    return Params(
+        **_OPENLORIS_COMMON,
+        wheel_sigma=(0.2, 99999.0, 999.99),
+        manifold_q_sigma=0.001,
+        laser_resolution=0.05,
+        line_continuous_threshold=0.2,
+        line_max_dis=0.05,
+        line_to_line_sigma=0.005,
+        submap_count=10,
+        laser_loop_min_match_threshold=8,
+        loop_detect_min_interval=200,
+        loop_max_dis=5.0,
+        ref_n_accumulation=10,
+        ref_capacity=2048,
+        map_corner_capacity=256,
+    )
+
+
 def base() -> Params:
     """The reference base config (config/params.yaml)."""
     return Params()
 
 
-PRESETS = {"base": base, "office": office, "corridor": corridor, "cafe": cafe}
+PRESETS = {
+    "base": base,
+    "office": office,
+    "corridor": corridor,
+    "cafe": cafe,
+    "market": market,
+}

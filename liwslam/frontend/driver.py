@@ -225,6 +225,21 @@ class Frontend:
         if frame_sel is not None:
             lt = lt[frame_sel]
             laser_orig = laser_keep[frame_sel]
+        # FPS frame gate (trajectory.cpp:170, min_delta_t = 1/FPS derived at
+        # params.cpp:188): skip laser frames closer than min_delta_t to the
+        # last ACCEPTED frame.  IMU/wheel samples of skipped frames fall into
+        # the next accepted frame's interval (the reference likewise keeps
+        # integrating across skipped frames).  Dataset presets use FPS=1000,
+        # which passes everything, exactly like the reference configs.
+        min_dt_us = int(round(prm.min_delta_t * 1e6))
+        if len(lt) > 1 and min_dt_us > 1:
+            keep = [0]
+            for idx in range(1, len(lt)):
+                if int(lt[idx]) - int(lt[keep[-1]]) >= min_dt_us:
+                    keep.append(idx)
+            keep = np.asarray(keep)
+            lt = lt[keep]
+            laser_orig = laser_orig[keep]
         F = len(lt)
         it = np.asarray(streams.imu_t_us)[imu_keep]
         wt = np.asarray(streams.wheel_t_us)[wheel_keep]

@@ -24,7 +24,11 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="office", choices=["base", "office", "corridor", "cafe"])
+    ap.add_argument(
+        "--preset",
+        default="office",
+        choices=["base", "office", "corridor", "cafe", "market"],
+    )
     ap.add_argument("--synthetic", default=None, choices=[None, "loop", "smallloop", "L"])
     ap.add_argument("--sequence", default=None, help="OpenLORIS dir or .npz")
     ap.add_argument("--out", default="/tmp/liwslam_out")

@@ -186,6 +186,58 @@ class SimStreams:
     gt_t_us: np.ndarray  # (Nl,)
     gt_T_w_imu: np.ndarray  # (Nl,4,4) f64
     gt_T_w_wheel: np.ndarray  # (Nl,4,4) f64
+    # monocular camera (empty unless simulate(..., camera_hz>0) or the
+    # loader provides images) — grayscale [0,1] f32
+    cam_t_us: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    cam_images: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 1, 1), np.float32)
+    )
+
+
+def wall_landmarks(segments, spacing=0.6, heights=(0.3, 0.9, 1.5), seed=0):
+    """3D visual landmarks on the wall segments: points every ``spacing``
+    meters along each wall at a few heights, jittered so no two project to
+    the same pixel column.  These are what the synthetic camera sees."""
+    rng = np.random.default_rng(seed)
+    pts = []
+    for x1, y1, x2, y2 in np.asarray(segments, np.float64):
+        a = np.asarray([x1, y1])
+        b = np.asarray([x2, y2])
+        L = np.linalg.norm(b - a)
+        n = max(2, int(L / spacing) + 1)
+        for t in np.linspace(0.0, 1.0, n):
+            xy = a * (1 - t) + b * t
+            h = rng.choice(heights) + rng.uniform(-0.15, 0.15)
+            pts.append([xy[0], xy[1], h])
+    return np.asarray(pts, np.float64)
+
+
+def render_camera(T_w_c, landmarks, intensities, K, w, h, blob_sigma=1.0):
+    """Splat 3D landmarks into a grayscale image seen from camera pose
+    ``T_w_c`` (4x4 camera-to-world).  Gaussian blobs give the Shi-Tomasi /
+    LK tracker well-defined corners to latch onto.  No occlusion model —
+    the synthetic camera path validates the tracking/triangulation/factor
+    machinery, not photo-realism."""
+    T_c_w = np.linalg.inv(T_w_c)
+    cam = (T_c_w[:3, :3] @ landmarks.T).T + T_c_w[:3, 3]
+    z = cam[:, 2]
+    vis = z > 0.2
+    u = K[0, 0] * cam[:, 0] / np.where(vis, z, 1.0) + K[0, 2]
+    v = K[1, 1] * cam[:, 1] / np.where(vis, z, 1.0) + K[1, 2]
+    m = 3  # blob support margin
+    vis &= (u >= m) & (u < w - m) & (v >= m) & (v < h - m)
+    img = np.zeros((h, w), np.float32)
+    r = 3
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    for ui, vi, ii in zip(u[vis], v[vis], intensities[vis]):
+        x0, y0 = int(np.floor(ui)), int(np.floor(vi))
+        gx = x0 + dx
+        gy = y0 + dy
+        g = np.exp(
+            -(((gx - ui) ** 2 + (gy - vi) ** 2) / (2 * blob_sigma**2))
+        )
+        img[gy, gx] = np.maximum(img[gy, gx], (ii * g).astype(np.float32))
+    return img
 
 
 def simulate(

@@ -56,7 +56,7 @@ def main():
     )
     fe = Frontend(prm)
     frames, lt = fe.pack_frames(streams)
-    track, k0, st_init, init_times = fe.initialize(frames, lt)
+    track, k0, st_init, init_times, _ = fe.initialize(frames, lt)
 
     chunk_fn = fe._chunk_fn()
     CH = 64

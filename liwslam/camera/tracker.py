@@ -51,10 +51,15 @@ def shi_tomasi_response(img, window=2):
     return tr / 2 - disc  # lambda_min
 
 
-def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None):
+def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None,
+                    budget=None):
     """Top-n corner selection with minimum mutual distance and distance to
     existing tracks (camera_manager.cpp:93-113).  Greedy over the top-K
-    responses, fixed shapes."""
+    responses, fixed shapes.
+
+    ``n_max`` is the static slot capacity; ``budget`` (optional, traced)
+    caps how many are actually taken this call — the reference replenishes
+    only up to ``max_feature_num - n_tracked`` new corners per frame."""
     H, W = img.shape
     resp = shi_tomasi_response(img)
     K = 4 * n_max + 32
@@ -67,6 +72,8 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None):
     if existing_xy is None:
         existing_xy = jnp.zeros((0, 2), img.dtype)
         existing_valid = jnp.zeros(0, bool)
+    if budget is None:
+        budget = jnp.asarray(n_max, jnp.int32)
 
     # response gate scaled by intensity² (the Shi-Tomasi score is quadratic
     # in intensity) so 8-bit and [0,1]-normalized images behave alike
@@ -79,7 +86,7 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None):
         ok_new = jnp.all(jnp.where(chosen[:, 2] > 0, d_new >= min_dis, True))
         d_old = jnp.linalg.norm(existing_xy - c[None], axis=-1)
         ok_old = jnp.all(jnp.where(existing_valid, d_old >= min_dis, True))
-        take = ok_new & ok_old & (n < n_max) & (top_v[i] > resp_gate)
+        take = ok_new & ok_old & (n < n_max) & (n < budget) & (top_v[i] > resp_gate)
         chosen = jnp.where(
             take,
             chosen.at[n].set(jnp.asarray([c[0], c[1], 1.0], img.dtype)),

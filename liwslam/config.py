@@ -137,6 +137,16 @@ class Params:
     max_imu_per_frame: int = 64  # IMU samples between consecutive frames
     max_wheel_per_frame: int = 64
     map_corner_capacity: int = 128  # corners per loop descriptor map
+    # camera path capacities/knobs (enable_camera; reference uses dynamic
+    # std::map feature tables — XLA wants fixed slots)
+    cam_feature_capacity: int = 64  # landmark/track slots F
+    cam_obs_window: int = 10  # observation ring length Wc
+    cam_min_obs: int = 5  # obs needed before triangulation (camera_manager.cpp:179)
+    cam_min_parallax: float = 0.02  # normalized-plane parallax gate
+    cam_lk_radius: int = 7
+    cam_lk_levels: int = 3
+    cam_lk_iters: int = 10
+    cam_lk_max_err: float = 0.1  # LK verify gate (fraction of dynamic range)
     keyframe_capacity: int = 4096  # pose-graph node capacity
     edge_capacity: int = 8192  # pose-graph edge capacity
     loop_probe_count: int = 5  # match_map probes (keyframe_manager.cpp:1139)

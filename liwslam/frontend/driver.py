@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from liwslam.core import geometry as geo
+from liwslam.frontend import camera_pipeline as cpl
 from liwslam.frontend import matching as mm
 from liwslam.frontend import pipeline as pl
 from liwslam.frontend import preintegration as pre
@@ -53,6 +54,12 @@ class FrontendResult:
     kf_corners: list  # per keyframe: (k,3) world-frame corner arrays
     kf_indices: np.ndarray  # frame indices of keyframes
     kf_scans: list  # per keyframe: (p1, p2) line arrays (laser frame)
+    # camera sub-frames (enable_camera only; empty otherwise)
+    cam_t_us: np.ndarray = None  # (C,) accepted camera frame stamps
+    cam_p: np.ndarray = None  # (C,3) camera-frame-time IMU poses
+    cam_q: np.ndarray = None  # (C,3)
+    cam_n_tracked: np.ndarray = None  # (C,)
+    cam_n_ready: np.ndarray = None  # (C,)
 
     def T_w_imu(self):
         return np.asarray(geo.make_tf(jnp.asarray(self.p), jnp.asarray(self.q)))
@@ -92,6 +99,9 @@ class Frontend:
         self.consts = fac.make_consts(params, dtype)
         self.scfg = pl.make_static_cfg(params)
         self.dcfg = pl.make_dyn_cfg(params, dtype)
+        if params.enable_camera:
+            self.ccfg = cpl.make_cam_static_cfg(params)
+            self.cdyn = cpl.make_cam_dyn_cfg(params, dtype)
         self._compiled = {}
         from liwslam.utils.record import Record
 
@@ -124,6 +134,43 @@ class Frontend:
 
             self._compiled["chunk"] = chunk
         return self._compiled["chunk"]
+
+    def _cam_chunk_fn(self):
+        if "cam_chunk" not in self._compiled:
+            consts, dcfg, scfg = self.consts, self.dcfg, self.scfg
+            ccfg, cdyn = self.ccfg, self.cdyn
+
+            @jax.jit
+            def chunk(state, cam, inputs):
+                return cpl.run_chunk_cam(
+                    state, cam, inputs, consts, dcfg, scfg, ccfg, cdyn
+                )
+
+            self._compiled["cam_chunk"] = chunk
+        return self._compiled["cam_chunk"]
+
+    def _cam_observe_fn(self):
+        """Jitted feature tracking only (init-time camera chain)."""
+        if "cam_observe" not in self._compiled:
+            ccfg, cdyn = self.ccfg, self.cdyn
+
+            @jax.jit
+            def obs(cam, img):
+                return cpl.observe(cam, img, ccfg, cdyn)
+
+            self._compiled["cam_observe"] = obs
+        return self._compiled["cam_observe"]
+
+    def _cam_record_fn(self):
+        if "cam_record" not in self._compiled:
+            cdyn = self.cdyn
+
+            @jax.jit
+            def rec(cam, p, q):
+                return cpl.record(cam, p, q, cdyn)
+
+            self._compiled["cam_record"] = rec
+        return self._compiled["cam_record"]
 
     def _extract_fn(self):
         if "extract" not in self._compiled:
@@ -207,18 +254,22 @@ class Frontend:
         # and strict global time order (dispatch.h:110-241) before slicing
         from liwslam.io import dispatch as dp
 
-        order_s, order_i = dp.merge(
-            [
-                np.asarray(streams.imu_t_us) * 1e-6,
-                np.asarray(streams.wheel_t_us) * 1e-6,
-                np.asarray(streams.laser_t_us) * 1e-6,
-            ],
-            watermark=1,
-            drain=True,
-        )
+        use_cam = prm.enable_camera
+        sensor_times = [
+            np.asarray(streams.imu_t_us) * 1e-6,
+            np.asarray(streams.wheel_t_us) * 1e-6,
+            np.asarray(streams.laser_t_us) * 1e-6,
+        ]
+        if use_cam:
+            cam_ts_all = np.asarray(getattr(streams, "cam_t_us", np.zeros(0, np.int64)))
+            if len(cam_ts_all) == 0:
+                raise ValueError("enable_camera=True but the stream has no camera data")
+            sensor_times.append(cam_ts_all * 1e-6)
+        order_s, order_i = dp.merge(sensor_times, watermark=1, drain=True)
         imu_keep = np.sort(order_i[order_s == 0])
         wheel_keep = np.sort(order_i[order_s == 1])
         laser_keep = np.sort(order_i[order_s == 2])
+        cam_keep = np.sort(order_i[order_s == 3]) if use_cam else np.zeros(0, np.int64)
 
         lt = np.asarray(streams.laser_t_us)[laser_keep]
         laser_orig = laser_keep
@@ -265,87 +316,198 @@ class Frontend:
             pts, npts = _pad(pts, prm.max_points)
             okp, _ = _pad(ok, prm.max_points)
             rayt, _ = _pad(streams.laser_times_rel[ko], prm.max_points)
-            frames.append(
-                pl.FrameInput(
-                    dt_us=np.int32(t1 - t0),
-                    imu_acc=acc,
-                    imu_gyro=gyr,
-                    imu_t_us=its,
-                    imu_mask=im,
-                    wheel_pose=wp,
-                    wheel_t_us=wts,
-                    wheel_mask=wm,
-                    points=pts,
-                    point_valid=okp,
-                    ray_t=rayt,
-                )
+            base = pl.FrameInput(
+                dt_us=np.int32(t1 - t0),
+                imu_acc=acc,
+                imu_gyro=gyr,
+                imu_t_us=its,
+                imu_mask=im,
+                wheel_pose=wp,
+                wheel_t_us=wts,
+                wheel_mask=wm,
+                points=pts,
+                point_valid=okp,
+                ray_t=rayt,
             )
+            if use_cam:
+                # the FIRST camera message after the previous laser frame
+                # becomes the interval's camera frame (trajectory.cpp:301
+                # rejects a camera frame when the window's newest frame is
+                # already a camera frame, so later messages are dropped)
+                ct = cam_ts_all[cam_keep]
+                sel = np.flatnonzero((ct > t0) & (ct <= t1))
+                h_px, w_px = streams.cam_images.shape[1:3]
+                if len(sel):
+                    ci = cam_keep[sel[0]]
+                    base = cpl.FrameInputCam(
+                        base=base,
+                        cam_img=np.asarray(streams.cam_images[ci], np.float32),
+                        cam_t_us=np.int32(int(cam_ts_all[ci]) - t0),
+                        cam_valid=np.bool_(True),
+                    )
+                else:
+                    base = cpl.FrameInputCam(
+                        base=base,
+                        cam_img=np.zeros((h_px, w_px), np.float32),
+                        cam_t_us=np.int32(0),
+                        cam_valid=np.bool_(False),
+                    )
+            frames.append(base)
         return frames, lt
 
     # -- initialization ------------------------------------------------------
 
+    @staticmethod
+    def _split_frame(base: pl.FrameInput, cam_t: int):
+        """Split one interval's FrameInput at the camera stamp (numpy)."""
+        cam_t = int(cam_t)
+        m1i = base.imu_mask & (base.imu_t_us <= cam_t)
+        m2i = base.imu_mask & (base.imu_t_us > cam_t)
+        m1w = base.wheel_mask & (base.wheel_t_us <= cam_t)
+        m2w = base.wheel_mask & (base.wheel_t_us > cam_t)
+        inp_a = base._replace(dt_us=np.int32(cam_t), imu_mask=m1i, wheel_mask=m1w)
+        inp_b = base._replace(
+            dt_us=np.int32(int(base.dt_us) - cam_t),
+            imu_t_us=(base.imu_t_us - cam_t).astype(np.int32),
+            imu_mask=m2i,
+            wheel_t_us=(base.wheel_t_us - cam_t).astype(np.int32),
+            wheel_mask=m2w,
+        )
+        return inp_a, inp_b
+
     def initialize(self, frames, lt):
         """Run the INITIALIZING state machine.  Returns
-        (TrackState, first_tracking_frame_index, init_window_result) or
-        raises if the stream ends before initialization succeeds."""
+        (TrackState, first_tracking_frame_index, init_window_result, times,
+        cam_state-or-None) or raises if the stream ends first.
+
+        With ``enable_camera`` the init window interleaves camera frames
+        exactly like the reference (trajectory.cpp:279-370:
+        ``slide_window_size`` counts frames of BOTH types, the first frame
+        must be laser, camera frames carry their own preintegration
+        interval), and camera observations are LK-tracked throughout —
+        including over skipped frames, since the reference runs
+        ``camera_manger_.add_frame`` before any accept gate."""
         prm = self.params
         dtype = self.dtype
+        use_cam = prm.enable_camera
         W = prm.slide_window_size
         preint = self._preint_fn()
         extract = self._extract_fn()
         match_fn = self._match_fn()
+        if use_cam:
+            observe = self._cam_observe_fn()
+            rec_fn = self._cam_record_fn()
+            h_px, w_px = frames[0].cam_img.shape
+            cam_state = cpl.init_cam_state(h_px, w_px, self.ccfg, dtype)
+            cam_state = jax.tree_util.tree_map(jnp.asarray, cam_state)
+        else:
+            cam_state = None
 
         p0, q0 = geo.log_SE3(geo.tf_inv(jnp.asarray(prm.mat_T_imu_to_wheel(), dtype)))
         k = 0
         n_frames = len(frames)
+        Tiw64 = prm.mat_T_imu_to_wheel()
+
+        def dead_reckon(cur_p, cur_q, wheel_res):
+            delta_imu = (
+                Tiw64 @ np.asarray(wheel_res.delta_T, np.float64) @ np.linalg.inv(Tiw64)
+            )
+            T_new = np.asarray(geo.make_tf(cur_p, cur_q), np.float64) @ delta_imu
+            return geo.log_SE3(jnp.asarray(T_new, dtype))
+
         while True:
             # fresh session state (init_current_status, trajectory.cpp:39-68)
             imu_c = pre.imu_reset(0, jnp.zeros(3, dtype), jnp.zeros(3, dtype))
             wheel_c = pre.wheel_reset(0, dtype)
             cur_p, cur_q = jnp.asarray(p0), jnp.asarray(q0)
-            window = []  # per accepted frame dicts
+            window = []  # per accepted frame dicts (type laser|camera)
+            cam_entries = []  # window indices of camera entries
+            if use_cam:
+                # a failed window discards its recorded observations (the
+                # LK chain itself survives, like the reference's
+                # camera_manager outliving the window reset)
+                cam_state = cam_state._replace(
+                    fw=cam_state.fw._replace(
+                        obs_mask=jnp.zeros_like(cam_state.fw.obs_mask),
+                        ready=jnp.zeros_like(cam_state.fw.ready),
+                    ),
+                    ring_valid=jnp.zeros_like(cam_state.ring_valid),
+                )
             front_sub = None
             started = False
             imu_seen = 0
             wheel_seen = 0
             while k < n_frames:
-                inp = jax.tree_util.tree_map(jnp.asarray, frames[k])
-                imu_seen += int(np.asarray(frames[k].imu_mask).sum())
-                wheel_seen += int(np.asarray(frames[k].wheel_mask).sum())
+                fk = frames[k]
+                base_np = fk.base if use_cam else fk
+                has_cam = use_cam and bool(fk.cam_valid)
+                inp = jax.tree_util.tree_map(jnp.asarray, base_np)
+                imu_seen += int(np.asarray(base_np.imu_mask).sum())
+                wheel_seen += int(np.asarray(base_np.wheel_mask).sum())
                 # feed samples even for skipped frames (preint keeps running)
                 keep, nxt, imu_res, wheel_res = preint(
                     imu_c, wheel_c, inp, cur_q * 0, cur_q * 0
                 )
+                accepted = True
                 if imu_seen < 2 or wheel_seen < 2:
-                    imu_c, wheel_c = keep
-                    k += 1
-                    continue
-                if not started:
+                    accepted = False
+                elif not started:
                     # static-start gate (trajectory.cpp:163-165): wheel
                     # delta conjugated into the laser frame
                     dT = np.asarray(wheel_res.delta_T)
-                    Tlw = np.linalg.inv(prm.mat_T_imu_to_laser()) @ prm.mat_T_imu_to_wheel()
+                    Tlw = np.linalg.inv(prm.mat_T_imu_to_laser()) @ Tiw64
                     dl = Tlw @ dT @ np.linalg.inv(Tlw)
                     dp, dq = geo.log_SE3(jnp.asarray(dl, dtype))
                     if (
                         float(jnp.linalg.norm(dp)) < prm.p_motion_threshold
                         and float(jnp.linalg.norm(dq)) < prm.q_motion_threshold
                     ):
-                        imu_c, wheel_c = keep
-                        k += 1
-                        continue
-                    started = True
-                # frame accepted: close the preint interval
-                imu_c, wheel_c = nxt
-                delta_imu = (
-                    prm.mat_T_imu_to_wheel()
-                    @ np.asarray(wheel_res.delta_T, np.float64)
-                    @ np.linalg.inv(prm.mat_T_imu_to_wheel())
-                )
-                T_new = np.asarray(
-                    geo.make_tf(cur_p, cur_q), np.float64
-                ) @ delta_imu
-                cur_p, cur_q = geo.log_SE3(jnp.asarray(T_new, dtype))
+                        accepted = False
+                    else:
+                        started = True
+                if not accepted:
+                    imu_c, wheel_c = keep
+                    if has_cam:  # LK chain runs before any accept gate
+                        cam_state = observe(cam_state, jnp.asarray(fk.cam_img))
+                    k += 1
+                    continue
+                if has_cam and window:
+                    # camera window entry with its own preint interval
+                    inp_a, inp_b = self._split_frame(base_np, fk.cam_t_us)
+                    _, nxt_a, imu_res_a, wheel_res_a = preint(
+                        imu_c, wheel_c,
+                        jax.tree_util.tree_map(jnp.asarray, inp_a),
+                        cur_q * 0, cur_q * 0,
+                    )
+                    imu_c, wheel_c = nxt_a
+                    cam_p, cam_q = dead_reckon(cur_p, cur_q, wheel_res_a)
+                    cam_state = observe(cam_state, jnp.asarray(fk.cam_img))
+                    cam_state = rec_fn(cam_state, cam_p, cam_q)
+                    window.append(
+                        dict(
+                            type="camera",
+                            t_us=int(lt[k - 1] if k else 0) + int(fk.cam_t_us),
+                            p=cam_p,
+                            q=cam_q,
+                            imu=imu_res_a,
+                            wheel=wheel_res_a,
+                            feats=None,
+                            match=None,
+                        )
+                    )
+                    cam_entries.append(len(window) - 1)
+                    cur_p, cur_q = cam_p, cam_q
+                    _, nxt_b, imu_res, wheel_res = preint(
+                        imu_c, wheel_c,
+                        jax.tree_util.tree_map(jnp.asarray, inp_b),
+                        cur_q * 0, cur_q * 0,
+                    )
+                    imu_c, wheel_c = nxt_b
+                else:
+                    if has_cam:  # first frame must be laser (trajectory.cpp:303)
+                        cam_state = observe(cam_state, jnp.asarray(fk.cam_img))
+                    imu_c, wheel_c = nxt
+                cur_p, cur_q = dead_reckon(cur_p, cur_q, wheel_res)
                 feats = extract(inp.points, inp.point_valid)
                 if front_sub is None:
                     front_sub = mm.submap_from_scan(
@@ -360,6 +522,7 @@ class Frontend:
                         break
                 window.append(
                     dict(
+                        type="laser",
                         t_us=int(lt[k]),
                         p=cur_p,
                         q=cur_q,
@@ -370,17 +533,26 @@ class Frontend:
                     )
                 )
                 k += 1
-                if len(window) == W:
-                    track, st_opt = self._finish_init(window)
+                if len(window) >= W:
+                    track, st_opt, cam_state = self._finish_init(
+                        window, cam_state, cam_entries
+                    )
                     times = np.asarray([f["t_us"] for f in window])
-                    return track, k, st_opt, times
+                    return track, k, st_opt, times, cam_state
             else:
                 raise RuntimeError(
                     f"stream ended during initialization (frame {k}/{n_frames})"
                 )
 
-    def _finish_init(self, window):
-        """init_solve + submap rebuild + marginalization -> TrackState."""
+    def _finish_init(self, window, cam_state=None, cam_entries=()):
+        """init_solve + submap rebuild + marginalization -> TrackState.
+
+        With camera entries present, the init solve carries camera
+        reprojection rows over free landmarks exactly like
+        ``do_init_solve(..., enable_camera_factor=true)``
+        (solver.cpp:60-85,171-174): landmarks are triangulated first
+        (``estimate_features(true)``, trajectory.cpp:419) and features that
+        fail triangulation are dropped."""
         prm = self.params
         dtype = self.dtype
         W = len(window)
@@ -461,19 +633,115 @@ class Frontend:
         )
         consts = self.consts
 
-        res_fn = lambda x: fac.stack_residuals(
-            fac.WindowState.from_flat(x, W), data, consts
-        )
-        x_opt, cost, _ = jax.jit(
+        use_cam = cam_state is not None and len(cam_entries) > 0
+        if use_cam:
+            ccfg, cdyn = self.ccfg, self.cdyn
+            Wc = self.ccfg.obs_window
+            F = self.ccfg.n_features
+            # obs slot w <-> window frame index (last Wc camera entries sit
+            # in the newest ring/obs slots, by construction of record())
+            taken = list(cam_entries)[-Wc:]
+            slot_to_frame = np.full(Wc, -1, np.int32)
+            for j, widx in enumerate(taken):
+                slot_to_frame[Wc - len(taken) + j] = widx
+            slot_valid = slot_to_frame >= 0
+            # estimate_features(true): triangulate from the dead-reckoned
+            # ring poses; features that fail stay out of the solve and are
+            # removed afterwards
+            fw0 = cam_state.fw._replace(ready=jnp.zeros_like(cam_state.fw.ready))
+            fw0 = jax.jit(
+                lambda fw: cpl.ft.triangulate_ready(
+                    fw,
+                    cam_state.ring_p,
+                    cam_state.ring_q,
+                    cdyn.T_imu_to_camera,
+                    min_obs=min(ccfg.min_obs, max(2, len(taken) // 2)),
+                    min_parallax=cdyn.min_parallax,
+                )
+            )(fw0)
+            ready_init = np.asarray(fw0.ready)
+            obs_np = jnp.asarray(fw0.obs)
+            obs_mask_np = jnp.asarray(fw0.obs_mask) & jnp.asarray(slot_valid)[None, :]
+            s2f = jnp.asarray(np.maximum(slot_to_frame, 0), jnp.int32)
+            Tic = cdyn.T_imu_to_camera
+            sq_info = cdyn.sqrt_info
+            ready_j = jnp.asarray(ready_init)
+
+            def cam_rows(x):
+                stw = fac.WindowState.from_flat(x[: W * 15], W)
+                world = x[W * 15 :].reshape(F, 3)
+
+                def one(f, w):
+                    fi = s2f[w]
+                    r = fac.camera_residual(
+                        stw.p[fi], stw.q[fi], world[f], obs_np[f, w], Tic, sq_info
+                    )
+                    use = obs_mask_np[f, w] & ready_j[f]
+                    return r * use.astype(r.dtype)
+
+                ff, ww = jnp.meshgrid(jnp.arange(F), jnp.arange(Wc), indexing="ij")
+                return jax.vmap(jax.vmap(one))(ff, ww).reshape(-1)
+
+            res_fn = lambda x: jnp.concatenate(
+                [
+                    fac.stack_residuals(
+                        fac.WindowState.from_flat(x[: W * 15], W), data, consts
+                    ),
+                    cam_rows(x),
+                ]
+            )
+            free = jnp.concatenate(
+                [
+                    jnp.ones(W * 15, dtype),
+                    jnp.repeat(jnp.asarray(ready_init, dtype), 3),
+                ]
+            )
+            x0 = jnp.concatenate([st.flat(), fw0.world.reshape(-1)])
+            wrap = lambda x: x.at[: W * 15].set(pl._wrap_q(x[: W * 15], W, dtype))
+        else:
+            res_fn = lambda x: fac.stack_residuals(
+                fac.WindowState.from_flat(x, W), data, consts
+            )
+            free = jnp.ones(W * 15, dtype)
+            x0 = st.flat()
+            wrap = lambda x: pl._wrap_q(x, W, dtype)
+        x_full, cost, _ = jax.jit(
             lambda x0: gn.lm_solve(
                 res_fn,
                 x0,
-                jnp.ones(W * 15, dtype),
+                free,
                 gn.LMConfig(max_iters=self.params.init_solver_max_iterations),
-                wrap_fn=lambda x: pl._wrap_q(x, W, dtype),
+                wrap_fn=wrap,
             )
-        )(st.flat())
+        )(x0)
+        x_opt = x_full[: W * 15]
         st_opt = fac.WindowState.from_flat(x_opt, W)
+        if use_cam:
+            # estimate_features(true) removal + optimized landmarks; ring
+            # poses become the OPTIMIZED camera-frame poses
+            world_opt = x_full[W * 15 :].reshape(F, 3)
+            rj = jnp.asarray(ready_init)
+            fw1 = fw0._replace(
+                world=world_opt,
+                ready=rj,
+                ids=jnp.where(rj, fw0.ids, -1),
+                obs_mask=fw0.obs_mask & rj[:, None],
+            )
+            ring_p = np.asarray(cam_state.ring_p).copy()
+            ring_q = np.asarray(cam_state.ring_q).copy()
+            stp = np.asarray(st_opt.p)
+            stq = np.asarray(st_opt.q)
+            for w in range(Wc):
+                if slot_valid[w]:
+                    ring_p[w] = stp[slot_to_frame[w]]
+                    ring_q[w] = stq[slot_to_frame[w]]
+            cam_state = cam_state._replace(
+                fw=fw1,
+                live=cam_state.live & rj,
+                ring_p=jnp.asarray(ring_p),
+                ring_q=jnp.asarray(ring_q),
+                ring_valid=jnp.asarray(slot_valid),
+            )
 
         # rebuild submaps from optimized poses (trajectory.cpp:466-478)
         pair = mm.empty_pair(prm.ref_capacity, dtype)
@@ -490,7 +758,8 @@ class Frontend:
             )
         )
         for i, f in enumerate(window):
-            pair = add(pair, f["feats"], st_opt.p[i], st_opt.q[i])
+            if f["feats"] is not None:
+                pair = add(pair, f["feats"], st_opt.p[i], st_opt.q[i])
 
         # marginalization seeds the prior (trajectory.cpp:479); the laser
         # ref side becomes the frozen optimized frame-0 pose
@@ -518,7 +787,7 @@ class Frontend:
             last_keyframe_T=geo.make_tf(st_opt.p[-1], st_opt.q[-1])
             @ consts.T_imu_to_laser,
         )
-        return track, st_opt
+        return track, st_opt, cam_state
 
     # -- full run -------------------------------------------------------------
 
@@ -528,13 +797,15 @@ class Frontend:
         frames, lt = self.pack_frames(streams)
         rec.end_record("pack_frames")
         rec.begin_record()
-        track, k0, st_init, init_times = self.initialize(frames, lt)
+        track, k0, st_init, init_times, cam_state = self.initialize(frames, lt)
         rec.end_record("initialize")
-        chunk_fn = self._chunk_fn()
+        use_cam = self.params.enable_camera
+        chunk_fn = self._cam_chunk_fn() if use_cam else self._chunk_fn()
 
         out_t, out_p, out_q, out_v, out_bs = [], [], [], [], []
         out_kf, out_nm, out_nl = [], [], []
         kf_corners, kf_indices, kf_scans = [], [], []
+        cam_rows = []  # (t_us, p, q, n_tracked, n_ready) per camera frame
 
         # init window frames are reported too (they're part of fornt_end.txt)
         out_t.extend(int(t) for t in init_times)
@@ -548,7 +819,25 @@ class Frontend:
                 lambda *xs: jnp.asarray(np.stack(xs)), *frames[k : k + n]
             )
             rec.begin_record()
-            track, outs = chunk_fn(track, batch)
+            if use_cam:
+                (track, cam_state), (outs, cam_outs) = chunk_fn(
+                    track, cam_state, batch
+                )
+                cam_outs = jax.tree_util.tree_map(np.asarray, cam_outs)
+                for i in range(n):
+                    if cam_outs.valid[i]:
+                        t0 = int(lt[k + i - 1]) if k + i > 0 else 0
+                        cam_rows.append(
+                            (
+                                t0 + int(frames[k + i].cam_t_us),
+                                cam_outs.p[i],
+                                cam_outs.q[i],
+                                int(cam_outs.n_tracked[i]),
+                                int(cam_outs.n_ready[i]),
+                            )
+                        )
+            else:
+                track, outs = chunk_fn(track, batch)
             outs = jax.tree_util.tree_map(np.asarray, outs)
             rec.end_record("track_chunk")
             rec.add_record("frames per chunk", n)
@@ -590,4 +879,13 @@ class Frontend:
             kf_corners=kf_corners,
             kf_indices=np.asarray(kf_indices, np.int64),
             kf_scans=kf_scans,
+            cam_t_us=np.asarray([r[0] for r in cam_rows], np.int64),
+            cam_p=(
+                np.stack([r[1] for r in cam_rows]) if cam_rows else np.zeros((0, 3))
+            ),
+            cam_q=(
+                np.stack([r[2] for r in cam_rows]) if cam_rows else np.zeros((0, 3))
+            ),
+            cam_n_tracked=np.asarray([r[3] for r in cam_rows], np.int64),
+            cam_n_ready=np.asarray([r[4] for r in cam_rows], np.int64),
         )

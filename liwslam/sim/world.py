@@ -240,6 +240,12 @@ def render_camera(T_w_c, landmarks, intensities, K, w, h, blob_sigma=1.0):
     return img
 
 
+def synthetic_camera_K(w, h, hfov_deg=70.0):
+    """Pinhole intrinsics for a synthetic camera of the given size."""
+    fx = (w / 2) / np.tan(np.radians(hfov_deg) / 2)
+    return (fx, 0.0, w / 2, 0.0, fx, h / 2, 0.0, 0.0, 1.0)
+
+
 def simulate(
     track: TwistTrack,
     segments: np.ndarray,
@@ -254,6 +260,8 @@ def simulate(
     scan_duration=0.025,
     skew=False,
     noise=False,
+    camera_hz=0.0,
+    camera_wh=(160, 120),
     seed=0,
 ) -> SimStreams:
     rng = np.random.default_rng(seed)
@@ -346,6 +354,25 @@ def simulate(
     gtw = track.poses(laser_ts)
 
     us = lambda x: np.round(np.asarray(x) * 1e6).astype(np.int64)
+
+    # --- monocular camera (enable_camera capability; sensor.h:126-146) ----
+    cam_ts = np.zeros(0)
+    cam_imgs = np.zeros((0, 1, 1), np.float32)
+    if camera_hz > 0:
+        T_ic = params.mat_T_imu_to_camera()
+        K = params.mat_camera_K()
+        w_px, h_px = camera_wh
+        lms = wall_landmarks(segments, seed=seed)
+        lm_int = rng.uniform(0.45, 1.0, len(lms)).astype(np.float32)
+        # phase offset like the other sensors (ties are dropped by dispatch)
+        cam_ts = np.arange(0.05, total, 1.0 / camera_hz) + 0.0013
+        cam_imgs = np.zeros((len(cam_ts), h_px, w_px), np.float32)
+        for i, t in enumerate(cam_ts):
+            T_w_c = T_w_imu(t) @ T_ic
+            cam_imgs[i] = render_camera(T_w_c, lms, lm_int, K, w_px, h_px)
+        if noise:
+            cam_imgs += rng.normal(0, 0.01, cam_imgs.shape).astype(np.float32)
+            cam_imgs = np.clip(cam_imgs, 0.0, 1.0)
     return SimStreams(
         imu_t_us=us(imu_ts),
         imu_acc=acc.astype(np.float32),
@@ -364,6 +391,8 @@ def simulate(
         gt_t_us=us(laser_ts),
         gt_T_w_imu=gt,
         gt_T_w_wheel=gtw,
+        cam_t_us=us(cam_ts),
+        cam_images=cam_imgs,
     )
 
 

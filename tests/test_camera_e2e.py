@@ -1,0 +1,126 @@
+"""End-to-end camera-enabled front end (the reference's enable_camera path).
+
+The reference ships the monocular path end-to-end but config-disabled
+(config/params.yaml:6); these tests prove liwslam's wiring is LIVE: the
+flag changes behavior, camera frames are solved as window frames, and
+landmarks get triangulated and used — with the same ATE gate as laser-only.
+"""
+
+import numpy as np
+import pytest
+
+from liwslam import config
+from liwslam.eval import metrics
+from liwslam.frontend.driver import Frontend
+from liwslam.sim import world as sim
+
+W_PX, H_PX = 160, 120
+
+
+def cam_params(enable=True):
+    return config.office().replace(
+        enable_camera=enable,
+        camera_K=sim.synthetic_camera_K(W_PX, H_PX),
+        T_imu_to_camera=(
+            # camera looks along +x of the IMU frame (z_cam = x_imu)
+            0.0, 0.0, 1.0, 0.05,
+            -1.0, 0.0, 0.0, 0.0,
+            0.0, -1.0, 0.0, 0.0,
+            0.0, 0.0, 0.0, 1.0,
+        ),
+        camera_sigma=(1.5, 1.5),
+        max_camera_reproject_error=4.0,  # px (normalized by fx internally)
+        max_camera_feature_dis=30.0,
+        max_feature_num=40,
+        feature_min_dis=10.0,
+        cam_feature_capacity=48,
+        cam_obs_window=8,
+        cam_min_obs=4,
+        cam_min_parallax=0.01,
+        # small caps for CPU-test compile speed
+        max_points=512,
+        max_lines=48,
+        max_corners=16,
+        ref_capacity=512,
+        max_imu_per_frame=32,
+        max_wheel_per_frame=8,
+        solver_max_iterations=8,
+        init_solver_max_iterations=25,
+    )
+
+
+@pytest.fixture(scope="module")
+def streams():
+    prm = cam_params()
+    return sim.simulate(
+        sim.default_track("L"),
+        sim.square_room(obstacles=True),
+        prm,
+        imu_hz=100,
+        wheel_hz=20,
+        laser_hz=5,
+        n_beams=360,
+        camera_hz=10.0,
+        camera_wh=(W_PX, H_PX),
+        noise=False,
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def run_cam(streams):
+    prm = cam_params()
+    fe = Frontend(prm)
+    res = fe.run(streams, chunk_size=8)
+    return prm, res
+
+
+def test_camera_frames_solved(run_cam):
+    prm, res = run_cam
+    # camera sub-frames were accepted and solved
+    assert len(res.cam_t_us) >= 20
+    # features are tracked on most camera frames
+    assert np.median(res.cam_n_tracked) >= 5
+    # landmarks get triangulated (ready) as the run progresses
+    assert res.cam_n_ready.max() >= 3
+
+
+def test_camera_ate_gate(run_cam, streams):
+    prm, res = run_cam
+    est = res.T_w_imu()
+    pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate = metrics.ate_rmse(est[pairs[:, 0]], gt, align=False)
+    assert ate < 0.1, f"ATE {ate}"
+
+
+def test_camera_subframe_poses_track_gt(run_cam, streams):
+    """The camera-frame-time solved poses must interpolate the trajectory
+    (they are full window frames, not copies of laser poses)."""
+    prm, res = run_cam
+    assert len(res.cam_t_us)
+    # compare each camera pose against time-interpolated ground truth
+    gt_t = streams.gt_t_us.astype(np.float64)
+    gt_p = streams.gt_T_w_imu[:, :3, 3]
+    errs = []
+    for t, p in zip(res.cam_t_us, res.cam_p):
+        i = np.searchsorted(gt_t, t)
+        i = np.clip(i, 1, len(gt_t) - 1)
+        a = (t - gt_t[i - 1]) / (gt_t[i] - gt_t[i - 1])
+        gp = gt_p[i - 1] * (1 - a) + gt_p[i] * a
+        errs.append(np.linalg.norm(p[:2] - gp[:2]))
+    assert np.median(errs) < 0.1, np.median(errs)
+    # and the camera stamps differ from every laser stamp (true sub-frames)
+    assert not np.isin(res.cam_t_us, res.t_us).any()
+
+
+def test_flag_changes_behavior(streams):
+    """enable_camera=False on the same stream: no camera frames, no
+    landmarks — the dead-flag failure mode of round 1 is gone."""
+    fe = Frontend(cam_params(enable=False))
+    res = fe.run(streams, chunk_size=8)
+    assert len(res.cam_t_us) == 0
+    est = res.T_w_imu()
+    pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    assert metrics.ate_rmse(est[pairs[:, 0]], gt, align=False) < 0.1

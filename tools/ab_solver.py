@@ -44,7 +44,7 @@ def main():
     )
     fe = Frontend(prm)
     frames, lt = fe.pack_frames(streams)
-    track, k0, _, _ = fe.initialize(frames, lt)
+    track, k0, _, _, _ = fe.initialize(frames, lt)
     batch = jax.tree_util.tree_map(
         lambda *xs: jnp.asarray(np.stack(xs)), *frames[k0 : k0 + CH]
     )

@@ -36,7 +36,7 @@ def make_sequence(prm, seed, track="loop"):
     )
     fe = Frontend(prm)
     frames, lt = fe.pack_frames(streams)
-    track_st, k0, _, _ = fe.initialize(frames, lt)
+    track_st, k0, _, _, _ = fe.initialize(frames, lt)
     return fe, frames, k0, track_st
 
 

@@ -64,7 +64,7 @@ def main():
     )
     fe = Frontend(prm)
     frames, lt = fe.pack_frames(streams)
-    track, k0, _, _ = fe.initialize(frames, lt)
+    track, k0, _, _, _ = fe.initialize(frames, lt)
     # constructors return host numpy (hostmath); stage lambdas CLOSE OVER
     # pieces of track, and closure numpy lacks .at[] — coerce once
     track = jax.tree_util.tree_map(jnp.asarray, track)

@@ -64,8 +64,12 @@ def dedup_corners(corner_sets, d_res, capacity, seed=0):
             if not dup:
                 pts.append(c.astype(np.float64))
     pts = np.asarray(pts, np.float64).reshape(-1, 3)
+    # overflow rule: keep the FIRST `capacity` corners in insertion order
+    # (callers pass newest keyframes first), THEN shuffle — deterministic
+    # and matched by the device builder (dedup_corners_device)
+    pts = pts[:capacity]
     rng = np.random.default_rng(seed)
-    pts = pts[rng.permutation(len(pts))][:capacity]
+    pts = pts[rng.permutation(len(pts))]
     return pts
 
 
@@ -106,6 +110,101 @@ def build_map_feature(
         bitmap=jnp.asarray(bitmap),
         origin=jnp.asarray(np.asarray(origin), jnp.float32),
         index=int(index),
+    )
+
+
+def dedup_corners_device(pts, mask, d_res, capacity):
+    """Device-side dedup with the oracle's exact sequential semantics
+    (keyframe_manager.cpp:955-981: scan corners in order; the FIRST kept
+    point within 5*d_res absorbs/blocks the candidate, blending 3:1 when
+    within d_res/2).  One ``lax.scan`` over candidates, O(P) work per step.
+
+    pts: (N,3); mask: (N,).  Returns (kept (P,3), n_kept ())."""
+    P = capacity
+    dtype = pts.dtype
+
+    def step(carry, inp):
+        kept, kcnt = carry
+        c, m = inp
+        d = jnp.sqrt(
+            jnp.sum((kept[:, :2] - c[None, :2]) ** 2, axis=-1) + 1e-20
+        )
+        live = jnp.arange(P) < kcnt
+        hit = live & (d < 5.0 * d_res)
+        has_hit = jnp.any(hit)
+        k_star = jnp.argmax(hit)  # first True (argmax picks lowest index)
+        do_blend = m & has_hit & (d[k_star] < d_res / 2)
+        blended = (kept[k_star] * 3 + c) / 4
+        kept = jnp.where(
+            do_blend,
+            kept.at[k_star].set(blended),
+            kept,
+        )
+        take = m & ~has_hit & (kcnt < P)
+        kept = jnp.where(take, kept.at[kcnt].set(c), kept)
+        return (kept, kcnt + take.astype(jnp.int32)), None
+
+    kept0 = jnp.zeros((P, 3), dtype)
+    (kept, n), _ = jax.lax.scan(
+        step, (kept0, jnp.asarray(0, jnp.int32)), (pts, mask), unroll=4
+    )
+    return kept, n
+
+
+def build_map_feature_device(
+    pts, mask, origin, *, d_res, capacity, n_dist_bins, perm=None
+):
+    """Jittable descriptor-map construction: dedup + pairwise quantized
+    distances/angles + the distance-bin bitmap, all on device
+    (keyframe_manager.cpp:985-1017 semantics; the reference builds this on
+    the CPU per keyframe — at OpenLORIS scale the Python-oracle version
+    dominated the backend's host time, VERDICT round 1).
+
+    ``perm`` (P,) random keys reproduce the reference's random_shuffle of
+    the dedup'd corners (probe corners are random); None keeps insertion
+    order.  ``index`` is attached by the caller (host metadata)."""
+    P = capacity
+    kept, n = dedup_corners_device(pts, mask, d_res, capacity)
+    valid = jnp.arange(P) < n
+    if perm is not None:
+        # valid slots get random keys, invalid slots sort to the end —
+        # a uniform shuffle of the kept corners with fixed shapes
+        keys = jnp.asarray(perm, jnp.int32) + jnp.where(valid, 0, 2 * P)
+        order = jnp.argsort(keys)
+        kept = kept[order]
+        valid = valid[order]
+    pad = jnp.where(valid[:, None], kept, 0.0).astype(jnp.float32)
+
+    v = pad[None, :, :2] - pad[:, None, :2]  # (P,P,2)
+    dist = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-20)
+    dist_q = jnp.floor(dist / d_res + 0.5).astype(jnp.int32)
+    ang = jnp.arctan2(v[..., 1], v[..., 0])
+    ang = jnp.where(ang < 0, ang + 2 * jnp.pi, ang).astype(jnp.float32)
+
+    NW = (n_dist_bins + 31) // 32
+    pair_ok = (
+        valid[:, None]
+        & valid[None, :]
+        & ~jnp.eye(P, dtype=bool)
+        & (dist_q < n_dist_bins)
+    )
+    word = dist_q >> 5
+    bit = (jnp.uint32(1) << (dist_q & 31).astype(jnp.uint32)).astype(jnp.uint32)
+
+    def word_col(w):
+        contrib = jnp.where(pair_ok & (word == w), bit, jnp.uint32(0))
+        return _or_reduce(contrib, 1)  # (P,)
+
+    bitmap = jax.vmap(word_col, out_axes=1)(jnp.arange(NW))  # (P,NW)
+
+    return MapFeature(
+        points=pad,
+        valid=valid,
+        dist_q=dist_q,
+        ang=ang,
+        bitmap=bitmap,
+        origin=jnp.asarray(origin, jnp.float32),
+        index=-1,  # host metadata; caller _replace()s it
     )
 
 
@@ -187,8 +286,46 @@ def score_pairs(
 
 
 def extract_correspondences(m1, m2, i, j, bin_idx, *, a_res, n_angle_bins):
-    """Pull the correspondence set of the winning (i, j, rotation-bin).
-    Host numpy (runs once per detected loop)."""
+    """Pull the correspondence set of the winning (i, j, rotation-bin):
+    for each left corner k1, the FIRST right corner k2 whose distance bin
+    matches and whose angle difference falls in the winning rotation bin.
+    Vectorized host numpy (the round-1 O(P^2) Python double loop dominated
+    per-loop host time; ``_extract_correspondences_ref`` keeps the loop
+    form as the parity oracle)."""
+    d1 = np.asarray(m1.dist_q[i])
+    a1 = np.asarray(m1.ang[i])
+    d2 = np.asarray(m2.dist_q[j])
+    a2 = np.asarray(m2.ang[j])
+    v1 = np.asarray(m1.valid)
+    v2 = np.asarray(m2.valid)
+    P = len(d1)
+    orig = n_angle_bins // 2
+    ad = a1[:, None] - a2[None, :]
+    ad = np.where(ad >= np.pi, ad - 2 * np.pi, ad)
+    ad = np.where(ad < -np.pi, ad + 2 * np.pi, ad)
+    # python int() truncates toward zero; match it exactly
+    binm = np.trunc(ad / a_res).astype(np.int64) + orig == bin_idx
+    m = (
+        (d1[:, None] == d2[None, :])
+        & binm
+        & v1[:, None]
+        & v2[None, :]
+        & (np.arange(P) != i)[:, None]
+        & (np.arange(P) != j)[None, :]
+    )
+    has = m.any(axis=1)
+    k2 = np.argmax(m, axis=1)
+    p1 = np.concatenate(
+        [np.asarray(m1.points[i])[None], np.asarray(m1.points)[has]]
+    )
+    p2 = np.concatenate(
+        [np.asarray(m2.points[j])[None], np.asarray(m2.points)[k2[has]]]
+    )
+    return p1, p2
+
+
+def _extract_correspondences_ref(m1, m2, i, j, bin_idx, *, a_res, n_angle_bins):
+    """Reference-shaped double loop (oracle for the vectorized form)."""
     P = m1.points.shape[0]
     d1 = np.asarray(m1.dist_q[i])
     a1 = np.asarray(m1.ang[i])
@@ -199,9 +336,8 @@ def extract_correspondences(m1, m2, i, j, bin_idx, *, a_res, n_angle_bins):
     orig = n_angle_bins // 2
     p1 = [np.asarray(m1.points[i])]
     p2 = [np.asarray(m2.points[j])]
-    used = {int(i)}
     for k1 in range(P):
-        if not v1[k1] or k1 == i or k1 in used:
+        if not v1[k1] or k1 == i:
             continue
         for k2 in range(P):
             if not v2[k2] or k2 == j:
@@ -216,7 +352,6 @@ def extract_correspondences(m1, m2, i, j, bin_idx, *, a_res, n_angle_bins):
             if int(ad / a_res) + orig == bin_idx:
                 p1.append(np.asarray(m1.points[k1]))
                 p2.append(np.asarray(m2.points[k2]))
-                used.add(k1)
                 break
     return np.asarray(p1), np.asarray(p2)
 

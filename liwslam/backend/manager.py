@@ -55,6 +55,10 @@ class KeyframeManager:
         self.pg_consts = pg.make_pg_consts(params, dtype)
         self._compiled = {}
         self.loops_found: list = []  # (i_new, i_old, tf12) for diagnostics
+        # per-session rolling window of the last submap_count laser
+        # keyframes' (index, corners) — avoids re-scanning all keyframes
+        # on every spawn (keyframe_manager.cpp:898-925 walks the deque tail)
+        self._corner_hist: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -181,34 +185,60 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
+    def _build_fn(self, N):
+        """Jitted descriptor-map builder, bucketed on padded corner count."""
+        key = ("build", N)
+        if key not in self._compiled:
+            prm = self.params
+
+            @jax.jit
+            def build(pts, mask, origin, perm):
+                return loop_mod.build_map_feature_device(
+                    pts,
+                    mask,
+                    origin,
+                    d_res=prm.d_res,
+                    capacity=prm.map_corner_capacity,
+                    n_dist_bins=prm.n_dist_bins,
+                    perm=perm,
+                )
+
+            self._compiled[key] = build
+        return self._compiled[key]
+
     def _spawn_map_feature(self, k):
         """spawn_laser_map_feature (keyframe_manager.cpp:898-925): corner
-        sets of the last submap_count laser keyframes."""
+        sets of the last submap_count laser keyframes, dedup'd and
+        descriptor-built ON DEVICE (one jitted program per keyframe;
+        round 1 rebuilt this with Python loops on the host)."""
         prm = self.params
         session = self.keyframes[k].session
-        corner_sets = []
-        count = 0
-        newest = None
-        for i in range(len(self.keyframes) - 1, -1, -1):
-            if not self.keyframes[i].is_laser:
-                continue
-            if self.keyframes[i].session != session:
-                continue
-            corner_sets.append(self.keyframes[i].corners)
-            if newest is None:
-                newest = i
-            count += 1
-            if count == prm.submap_count:
-                break
-        return loop_mod.build_map_feature(
-            corner_sets,
-            self.keyframes[newest].T_tracking,
-            newest,
-            d_res=prm.d_res,
-            capacity=prm.map_corner_capacity,
-            n_dist_bins=prm.n_dist_bins,
-            seed=newest,
+        hist = self._corner_hist.setdefault(session, [])
+        hist.append((k, np.asarray(self.keyframes[k].corners).reshape(-1, 3)))
+        if len(hist) > prm.submap_count:
+            del hist[: len(hist) - prm.submap_count]
+        newest = hist[-1][0]
+        # newest keyframe's corners first: dedup is order-sensitive and the
+        # reference collects the deque tail newest-to-oldest
+        flat = (
+            np.concatenate([c for _, c in reversed(hist)])
+            if hist
+            else np.zeros((0, 3))
         )
+        n = len(flat)
+        N = max(64, 1 << max(0, n - 1).bit_length())  # bucket: few jits
+        pts = np.zeros((N, 3), np.float32)
+        pts[:n] = flat
+        mask = np.arange(N) < n
+        rng = np.random.default_rng(newest)
+        perm = rng.permutation(prm.map_corner_capacity).astype(np.int32)
+        mf = self._build_fn(N)(
+            pts,
+            mask,
+            np.asarray(self.keyframes[newest].T_tracking, np.float32),
+            perm,
+        )
+        return mf._replace(index=newest)
 
     def _laser_loop_detect(self):
         """laser_loop_detect (keyframe_manager.cpp:642-712)."""

@@ -101,8 +101,18 @@ def load_manager(prefix, params):
                 is_laser=head["kf_is_laser"][k],
                 corners=z[f"kf{k}_corners"],
                 scan_lines=(z[f"kf{k}_l1"], z[f"kf{k}_l2"]),
+                session=head["kf_session"][k],
             )
         )
+    # rebuild the per-session rolling corner window the descriptor builder
+    # consumes (last submap_count laser keyframes per session, in order)
+    for k, kf in enumerate(mgr.keyframes):
+        if not kf.is_laser:
+            continue
+        hist = mgr._corner_hist.setdefault(kf.session, [])
+        hist.append((k, np.asarray(kf.corners).reshape(-1, 3)))
+        if len(hist) > params.submap_count:
+            del hist[: len(hist) - params.submap_count]
     mgr.seq_edges = [
         (i, j, z[f"se{n}"]) for n, (i, j) in enumerate(head["seq_edges"])
     ]

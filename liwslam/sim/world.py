@@ -145,6 +145,37 @@ def corridor_world(length=30.0, width=3.0) -> np.ndarray:
     return np.asarray(segs, np.float64)
 
 
+@dataclass
+class MovingBox:
+    """A dynamic obstacle (person/cart): an axis-aligned box ping-ponging
+    along ``velocity`` with the given half-period.  The cafe/market
+    capability of BASELINE config 3 — the reference survives dynamics via
+    the match mean-distance filter (laser_manager.cpp:315-345); the
+    simulator must produce them to test that."""
+
+    center: tuple  # (x, y) at t=0
+    size: tuple = (0.5, 0.5)
+    velocity: tuple = (0.4, 0.0)  # m/s
+    period: float = 4.0  # seconds one-way before reversing
+
+    def segments_at(self, t: float) -> np.ndarray:
+        phase = t % (2 * self.period)
+        tt = phase if phase < self.period else 2 * self.period - phase
+        cx = self.center[0] + self.velocity[0] * tt
+        cy = self.center[1] + self.velocity[1] * tt
+        hw, hh = self.size[0] / 2, self.size[1] / 2
+        x1, y1, x2, y2 = cx - hw, cy - hh, cx + hw, cy + hh
+        return np.asarray(
+            [
+                (x1, y1, x2, y1),
+                (x2, y1, x2, y2),
+                (x2, y2, x1, y2),
+                (x1, y2, x1, y1),
+            ],
+            np.float64,
+        )
+
+
 def raycast(origin_xy, dirs_xy, segments, max_range=30.0, min_range=0.1):
     """Batch 2D raycast.  origin_xy (2,) or (B,2); dirs_xy (B,2) unit;
     segments (S,4).  Returns ranges (B,), inf where no hit."""
@@ -262,6 +293,7 @@ def simulate(
     noise=False,
     camera_hz=0.0,
     camera_wh=(160, 120),
+    movers=(),
     seed=0,
 ) -> SimStreams:
     rng = np.random.default_rng(seed)
@@ -316,6 +348,13 @@ def simulate(
     pts = np.zeros((len(laser_ts), n_beams, 3), np.float32)
     valid = np.zeros((len(laser_ts), n_beams), bool)
     for i, t in enumerate(laser_ts):
+        segs_t = (
+            segments
+            if not movers
+            else np.concatenate(
+                [segments] + [m.segments_at(float(t)) for m in movers]
+            )
+        )
         if skew:
             # per-ray pose, vectorized: within a constant-twist segment
             # T(t + dt) = T(t) @ exp(twist * dt) exactly
@@ -331,7 +370,7 @@ def simulate(
             d_l = np.stack([np.cos(beams), np.sin(beams), np.zeros(n_beams)], -1)
             d_w = np.einsum("bij,bj->bi", Twl_all[:, :3, :3], d_l)
             n2 = np.linalg.norm(d_w[:, :2], axis=-1)
-            r2 = raycast(Twl_all[:, :2, 3], d_w[:, :2] / n2[:, None], segments, max_range)
+            r2 = raycast(Twl_all[:, :2, 3], d_w[:, :2] / n2[:, None], segs_t, max_range)
             rngs = r2 / n2
             Twl0 = T_w_imu(t) @ T_il
         else:
@@ -339,7 +378,7 @@ def simulate(
             d_l = np.stack([np.cos(beams), np.sin(beams), np.zeros(n_beams)], -1)
             d_w = (Twl0[:3, :3] @ d_l.T).T
             n2 = np.linalg.norm(d_w[:, :2], axis=-1)
-            r2 = raycast(Twl0[:2, 3], d_w[:, :2] / n2[:, None], segments, max_range)
+            r2 = raycast(Twl0[:2, 3], d_w[:, :2] / n2[:, None], segs_t, max_range)
             rngs = r2 / n2
         if noise:
             rngs = rngs + rng.normal(0, 0.005, rngs.shape)

@@ -193,6 +193,169 @@ def save_text_sequence(path, streams: SimStreams, t0_s=1560000000.0):
         )
 
 
+def load_bag(
+    path,
+    *,
+    laser_topic="/scan",
+    wheel_odom_topic="/odom",
+    imu_topic="/d400/imu0",
+    max_beams=None,
+    T_imu_to_wheel=None,
+    gt_path=None,
+) -> SimStreams:
+    """Load sensor streams straight from an OpenLORIS ROS1 bag.
+
+    Topic defaults follow the reference's OpenLORIS configs
+    (``config/office.yaml:1-3``: /scan, /odom, /d400/imu0).  Uses the
+    pure-Python bag reader (liwslam.io.rosbag) — no ROS stack needed.
+    Ground truth is distributed separately as TUM text; pass ``gt_path``
+    to attach it (base/wheel-frame, converted like ``load_sequence``).
+    """
+    from liwslam.core import geometry as geo
+    from liwslam.io import rosbag
+    import jax.numpy as jnp
+
+    imu_t, acc, gyro = [], [], []
+    odom_t, odom_p, odom_q = [], [], []
+    laser = []
+    wanted = {laser_topic, wheel_odom_topic, imu_topic}
+    for topic, mtype, msg in rosbag.read_messages(path, topics=wanted):
+        if topic == imu_topic:
+            imu_t.append(msg["stamp"])
+            acc.append(msg["acc"])
+            gyro.append(msg["gyro"])
+        elif topic == wheel_odom_topic:
+            odom_t.append(msg["stamp"])
+            odom_p.append(msg["p"])
+            odom_q.append(msg["q_xyzw"])
+        elif topic == laser_topic:
+            laser.append(msg)
+    if not laser or not imu_t or not odom_t:
+        raise ValueError(
+            f"{path}: missing topics (laser={len(laser)}, imu={len(imu_t)}, "
+            f"odom={len(odom_t)}) — check topic names"
+        )
+
+    wheel_pose = np.tile(np.eye(4), (len(odom_t), 1, 1))
+    q_xyzw = np.stack(odom_q)
+    q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, 0:3]], axis=1)
+    wheel_pose[:, :3, :3] = np.asarray(
+        geo.mat_from_quat(jnp.asarray(q_wxyz, jnp.float32))
+    )
+    wheel_pose[:, :3, 3] = np.stack(odom_p)
+
+    n_beams = max_beams or max(len(m["ranges"]) for m in laser)
+    L = len(laser)
+    pts = np.zeros((L, n_beams, 3), np.float32)
+    valid = np.zeros((L, n_beams), bool)
+    times_rel = np.zeros((L, n_beams), np.float32)
+    laser_t = np.asarray([m["stamp"] for m in laser])
+    for k, m in enumerate(laser):
+        r = np.asarray(m["ranges"], np.float64)[:n_beams]
+        n = len(r)
+        ang = m["angle_min"] + m["angle_increment"] * np.arange(n)
+        ok = np.isfinite(r) & (r > max(m["range_min"], 0.05)) & (
+            r < m["range_max"]
+        )
+        pts[k, :n] = np.stack(
+            [np.where(ok, r, 0.0) * np.cos(ang),
+             np.where(ok, r, 0.0) * np.sin(ang),
+             np.zeros(n)], -1
+        )
+        valid[k, :n] = ok
+        times_rel[k, :n] = m["time_increment"] * np.arange(n)
+
+    t0 = min(imu_t[0], odom_t[0], laser_t[0])
+    gt_t_us = np.zeros(0, np.int64)
+    gt_T_w_imu = np.zeros((0, 4, 4))
+    gt_T_w_wheel = np.zeros((0, 4, 4))
+    if gt_path is not None:
+        from liwslam.io import tum
+
+        gt_t_s, gt_T_w_wheel = tum.read_tum(gt_path)
+        gt_t_us = _to_us(gt_t_s, t0)
+        if T_imu_to_wheel is not None:
+            gt_T_w_imu = gt_T_w_wheel @ np.linalg.inv(
+                np.asarray(T_imu_to_wheel, np.float64)
+            )
+
+    return SimStreams(
+        imu_t_us=_to_us(imu_t, t0),
+        imu_acc=np.stack(acc).astype(np.float32),
+        imu_gyro=np.stack(gyro).astype(np.float32),
+        wheel_t_us=_to_us(odom_t, t0),
+        wheel_pose=wheel_pose.astype(np.float32),
+        laser_t_us=_to_us(laser_t, t0),
+        laser_points=pts,
+        laser_times_rel=times_rel,
+        laser_valid=valid,
+        gt_t_us=gt_t_us,
+        gt_T_w_imu=gt_T_w_imu,
+        gt_T_w_wheel=gt_T_w_wheel,
+    )
+
+
+def save_bag(path, streams: SimStreams, *, t0_s=1560000000.0,
+             laser_topic="/scan", wheel_odom_topic="/odom",
+             imu_topic="/d400/imu0"):
+    """Write ``streams`` as a ROS1 bag (inverse of ``load_bag``; lets the
+    simulator emit real .bag fixtures for the converter round-trip)."""
+    from liwslam.core import geometry as geo
+    from liwslam.io import rosbag
+    import jax.numpy as jnp
+
+    with rosbag.BagWriter(path) as w:
+        for k in range(len(streams.imu_t_us)):
+            t = streams.imu_t_us[k] * 1e-6 + t0_s
+            w.write(
+                imu_topic,
+                "sensor_msgs/Imu",
+                t,
+                rosbag.serialize_imu(t, streams.imu_acc[k], streams.imu_gyro[k]),
+            )
+        q_wxyz = np.asarray(
+            geo.quat_from_mat(
+                jnp.asarray(streams.wheel_pose[:, :3, :3], jnp.float32)
+            )
+        )
+        for k in range(len(streams.wheel_t_us)):
+            t = streams.wheel_t_us[k] * 1e-6 + t0_s
+            q_xyzw = np.concatenate([q_wxyz[k, 1:4], q_wxyz[k, 0:1]])
+            w.write(
+                wheel_odom_topic,
+                "nav_msgs/Odometry",
+                t,
+                rosbag.serialize_odometry(t, streams.wheel_pose[k, :3, 3], q_xyzw),
+            )
+        for k in range(len(streams.laser_t_us)):
+            t = streams.laser_t_us[k] * 1e-6 + t0_s
+            xy = streams.laser_points[k, :, :2]
+            r = np.linalg.norm(xy, axis=-1)
+            ang = np.unwrap(np.arctan2(xy[:, 1], xy[:, 0]))
+            ok = streams.laser_valid[k] & (r > 0.1)
+            idx = np.flatnonzero(ok)
+            if len(idx) >= 2:
+                i0, i1 = idx[0], idx[-1]
+                da = (ang[i1] - ang[i0]) / max(i1 - i0, 1)
+                a0 = ang[i0] - da * i0
+            else:
+                a0, da = -np.pi, 2 * np.pi / max(len(r), 1)
+            tr = streams.laser_times_rel[k]
+            time_inc = float(tr[1] - tr[0]) if len(tr) > 1 else 0.0
+            w.write(
+                laser_topic,
+                "sensor_msgs/LaserScan",
+                t,
+                rosbag.serialize_laser_scan(
+                    t,
+                    np.where(ok, r, np.nan),
+                    float(a0),
+                    float(da),
+                    time_increment=time_inc,
+                ),
+            )
+
+
 _FIELDS = [
     "imu_t_us", "imu_acc", "imu_gyro", "wheel_t_us", "wheel_pose",
     "laser_t_us", "laser_points", "laser_times_rel", "laser_valid",

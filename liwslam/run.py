@@ -30,7 +30,12 @@ def main(argv=None):
         choices=["base", "office", "corridor", "cafe", "market"],
     )
     ap.add_argument("--synthetic", default=None, choices=[None, "loop", "smallloop", "L"])
-    ap.add_argument("--sequence", default=None, help="OpenLORIS dir or .npz")
+    ap.add_argument(
+        "--sequence", default=None, help="OpenLORIS dir, .npz, or ROS1 .bag"
+    )
+    ap.add_argument(
+        "--gt", default=None, help="TUM ground-truth file (for .bag input)"
+    )
     ap.add_argument("--out", default="/tmp/liwslam_out")
     ap.add_argument("--no-backend", action="store_true")
     ap.add_argument("--chunk", type=int, default=32)
@@ -86,9 +91,16 @@ def main(argv=None):
     elif args.sequence:
         from liwslam.io import openloris
 
-        streams = openloris.load_sequence(
-            args.sequence, T_imu_to_wheel=prm.mat_T_imu_to_wheel()
-        )
+        if args.sequence.endswith(".bag"):
+            streams = openloris.load_bag(
+                args.sequence,
+                T_imu_to_wheel=prm.mat_T_imu_to_wheel(),
+                gt_path=args.gt,
+            )
+        else:
+            streams = openloris.load_sequence(
+                args.sequence, T_imu_to_wheel=prm.mat_T_imu_to_wheel()
+            )
     else:
         ap.error("need --synthetic or --sequence")
 

@@ -791,7 +791,12 @@ class Frontend:
 
     # -- full run -------------------------------------------------------------
 
-    def run(self, streams, chunk_size=32) -> FrontendResult:
+    def run(self, streams, chunk_size=32, chunk_callback=None) -> FrontendResult:
+        """Run the full stream.  ``chunk_callback(info)`` fires after each
+        drained chunk with the chunk's frames and keyframe payloads — the
+        hook the online runner (liwslam.online) uses to feed the back end
+        concurrently, replacing the reference's front-end→back-end thread
+        handoff (keyframe_manager.cpp:399-417)."""
         rec = self.recorder
         rec.begin_record()
         frames, lt = self.pack_frames(streams)
@@ -847,6 +852,7 @@ class Frontend:
             rec.add_record(
                 "match line size", float(np.mean(outs.n_match))
             )
+            chunk_kfs = []
             for i in range(n):
                 out_t.append(int(lt[k + i]))
                 out_p.append(outs.p[i])
@@ -862,6 +868,26 @@ class Frontend:
                     kf_corners.append(outs.kf_corners[i][cv])
                     lv = outs.scan_line_valid[i]
                     kf_scans.append((outs.scan_p1[i][lv], outs.scan_p2[i][lv]))
+                    chunk_kfs.append(
+                        dict(
+                            frame_index=st_init_n + len(out_p) - 1,
+                            t_us=int(lt[k + i]),
+                            p=outs.p[i],
+                            q=outs.q[i],
+                            corners=kf_corners[-1],
+                            scan_lines=kf_scans[-1],
+                        )
+                    )
+            if chunk_callback is not None:
+                chunk_callback(
+                    dict(
+                        frame_start=st_init_n + len(out_p) - n,
+                        t_us=[int(lt[k + i]) for i in range(n)],
+                        p=outs.p[:n],
+                        q=outs.q[:n],
+                        keyframes=chunk_kfs,
+                    )
+                )
             k += n
 
         # prepend init-window states (optimized by init_solve)

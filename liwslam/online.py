@@ -1,0 +1,147 @@
+"""Online front-end/back-end coupling: concurrent mapping + live re-basing.
+
+Reference counterpart: the keyframe manager runs on its OWN thread
+(``src/trajectory/keyframe_manager.cpp:859-881``), consuming keyframes from
+a mutex'd mailbox while the front end keeps tracking; after each pose-graph
+solve it publishes ``modify_delta_tf`` which re-bases the live front-end
+output (``keyframe_manager.cpp:407-417, 468-473``).
+
+liwslam's equivalent maps the thread boundary onto the chunked device
+pipeline: the front end drains one ``lax.scan`` chunk at a time
+(liwslam.frontend.driver.Frontend.run), and at every chunk boundary the
+new keyframes are handed to a backend worker thread.  Loop detection, ICP
+and the pose-graph device solve run there WHILE the next frontend chunk
+computes; whatever ``modify_delta_tf`` correction has landed by the time a
+chunk drains is applied to that chunk's live poses — exactly the
+freshness semantics of the reference's asynchronous design (a correction
+computed from keyframe k re-bases frames published after it).
+
+``overlap=False`` processes keyframes inline at each chunk boundary
+instead — fully deterministic (the test mode), same data path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from liwslam.backend.manager import KeyframeManager
+from liwslam.frontend.driver import Frontend, FrontendResult
+
+
+@dataclass
+class OnlineResult:
+    frontend: FrontendResult
+    live_T: np.ndarray  # (F,4,4) re-based live poses (IMU frame)
+    live_delta_norm: np.ndarray  # (F,) |log p| of the delta applied per frame
+    manager: KeyframeManager
+    wall_s: float
+    frontend_busy_s: float
+    backend_busy_s: float
+    drain_wait_s: float  # main-thread wait for the worker after the frontend
+
+    @property
+    def overlap_s(self) -> float:
+        """Backend seconds that ran concurrently with frontend compute:
+        worker busy time minus the post-frontend drain wait."""
+        return max(0.0, self.backend_busy_s - self.drain_wait_s)
+
+
+class OnlineRunner:
+    """Drives Frontend and KeyframeManager concurrently."""
+
+    def __init__(self, params, overlap=True):
+        self.params = params
+        self.overlap = overlap
+        self.fe = Frontend(params)
+        self.mgr = KeyframeManager(params)
+        self._q: queue.Queue = queue.Queue()
+        self._be_busy = 0.0
+        self._fe_busy = 0.0
+        self._worker = None
+
+    # -- backend worker ------------------------------------------------------
+
+    def _process_one(self, kf):
+        t0 = time.perf_counter()
+        self.mgr.add_keyframe(
+            t_us=kf["t_us"],
+            p=kf["p"],
+            q=kf["q"],
+            corners=kf["corners"],
+            scan_lines=kf["scan_lines"],
+        )
+        self._be_busy += time.perf_counter() - t0
+
+    def _worker_loop(self):
+        while True:
+            kf = self._q.get()
+            if kf is None:
+                return
+            self._process_one(kf)
+
+    # -- main ---------------------------------------------------------------
+
+    def run(self, streams, chunk_size=32) -> OnlineResult:
+        import jax.numpy as jnp
+
+        from liwslam.core import geometry as geo
+
+        if self.overlap:
+            self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+            self._worker.start()
+
+        live_T = []
+        live_dn = []
+
+        def on_chunk(info):
+            # hand this chunk's keyframes to the back end (mailbox push,
+            # keyframe_manager.cpp:399-406) ...
+            for kf in info["keyframes"]:
+                if self.overlap:
+                    self._q.put(kf)
+                else:
+                    self._process_one(kf)
+            # ... and re-base this chunk's live output with whatever
+            # correction has landed (update_other_frame semantics)
+            delta = self.mgr.modify_delta_tf()
+            dp = np.linalg.norm(delta[:3, 3])
+            for p, q in zip(info["p"], info["q"]):
+                T = np.asarray(
+                    geo.make_tf(jnp.asarray(p), jnp.asarray(q)), np.float64
+                )
+                live_T.append(delta @ T)
+                live_dn.append(dp)
+
+        t_start = time.perf_counter()
+        fe_t0 = time.perf_counter()
+        res = self.fe.run(streams, chunk_size=chunk_size, chunk_callback=on_chunk)
+        self._fe_busy = time.perf_counter() - fe_t0
+
+        drain_wait = 0.0
+        if self.overlap:
+            t_d = time.perf_counter()
+            self._q.put(None)
+            self._worker.join()
+            drain_wait = time.perf_counter() - t_d
+        wall = time.perf_counter() - t_start
+
+        # init-window frames precede the first chunk: identity correction
+        n_init = len(res.p) - len(live_T)
+        init_T = res.T_w_imu()[:n_init]
+        live = np.concatenate([init_T, np.stack(live_T)]) if live_T else init_T
+        dn = np.concatenate([np.zeros(n_init), np.asarray(live_dn)])
+        return OnlineResult(
+            frontend=res,
+            live_T=live,
+            live_delta_norm=dn,
+            manager=self.mgr,
+            wall_s=wall,
+            frontend_busy_s=self._fe_busy,
+            backend_busy_s=self._be_busy,
+            drain_wait_s=drain_wait,
+        )

@@ -1,0 +1,120 @@
+"""Online front-end/back-end coupling: mid-run loop closure re-bases the
+LIVE output (keyframe_manager.cpp:859-881, 407-417, 468-473 semantics)."""
+
+import numpy as np
+import pytest
+
+from liwslam import config
+from liwslam.eval import metrics
+from liwslam.online import OnlineRunner
+from liwslam.sim import world as sim
+
+
+def loop_params():
+    return config.office().replace(
+        max_points=1152,
+        max_lines=48,
+        max_corners=16,
+        ref_capacity=512,
+        max_imu_per_frame=32,
+        max_wheel_per_frame=8,
+        solver_max_iterations=6,
+        init_solver_max_iterations=20,
+        loop_detect_min_interval=40,
+        submap_count=10,
+        pose_graph_solve_interval_s=5.0,
+        loop_max_dis=2.5,
+    )
+
+
+@pytest.fixture(scope="module")
+def streams():
+    prm = loop_params()
+    # one-and-a-half laps -> the loop closes mid-run with frames after it
+    leg = [(3.5, 0.35, 0.0, 0.0), (2.6, 0.25, 0.0, np.pi / 2 / 2.6)]
+    track = sim.TwistTrack([(2.0, 0.0, 0.0, 0.0)] + leg * 6)
+    return sim.simulate(
+        track,
+        sim.square_room(size=12.0, obstacles=True, rich=True),
+        prm,
+        imu_hz=100,
+        wheel_hz=20,
+        laser_hz=4,
+        n_beams=1080,
+        noise=True,
+        seed=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def online_sync(streams):
+    runner = OnlineRunner(loop_params(), overlap=False)
+    return runner.run(streams, chunk_size=16)
+
+
+def test_midrun_loop_rebases_live_output(online_sync):
+    res = online_sync
+    assert len(res.manager.loops_found) >= 1, "no loop closed"
+    dn = res.live_delta_norm
+    # the correction lands MID-RUN: identity early, non-identity later
+    first_corrected = np.flatnonzero(dn > 1e-6)
+    assert len(first_corrected), "modify_delta_tf never applied"
+    k = first_corrected[0]
+    assert k > 10, "correction should appear only after a loop solve"
+    assert k < len(dn) - 5, "correction must land before the stream ends"
+    # frames after the solve are visibly re-based vs the raw frontend
+    raw = res.frontend.T_w_imu()
+    moved = np.linalg.norm(res.live_T[k:, :3, 3] - raw[k:, :3, 3], axis=1)
+    assert moved.max() > 1e-4
+
+
+def test_live_trajectory_not_worse(online_sync, streams):
+    res = online_sync
+    raw = res.frontend.T_w_imu()
+    pairs = metrics.associate_by_time(res.frontend.t_us, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate_raw = metrics.ate_rmse(raw[pairs[:, 0]], gt)
+    ate_live = metrics.ate_rmse(res.live_T[pairs[:, 0]], gt)
+    # live re-based output must not be worse than dead-reckoned tracking
+    assert ate_live <= ate_raw * 1.2 + 0.01, (ate_live, ate_raw)
+
+
+def test_online_matches_posthoc_backend(online_sync, streams):
+    """The online manager's final keyframe trajectory must match feeding
+    the same keyframes post-hoc (determinism of the data path)."""
+    from liwslam.backend.manager import KeyframeManager
+
+    res = online_sync
+    fr = res.frontend
+    mgr = KeyframeManager(loop_params())
+    ki = 0
+    for fi in np.flatnonzero(fr.is_keyframe):
+        mgr.add_keyframe(
+            t_us=int(fr.t_us[fi]),
+            p=fr.p[fi],
+            q=fr.q[fi],
+            corners=fr.kf_corners[ki],
+            scan_lines=fr.kf_scans[ki],
+        )
+        ki += 1
+    ts_a, Ts_a = res.manager.trajectory()
+    ts_b, Ts_b = mgr.trajectory()
+    assert len(ts_a) == len(ts_b)
+    # same loops, same solves (data-time cadence => deterministic)
+    assert len(res.manager.loops_found) == len(mgr.loops_found)
+    assert np.allclose(Ts_a, Ts_b, atol=1e-5)
+
+
+def test_overlap_mode_runs_and_overlaps(streams):
+    runner = OnlineRunner(loop_params(), overlap=True)
+    res = runner.run(streams, chunk_size=16)
+    assert len(res.manager.loops_found) >= 1
+    # backend work really happened, and some of it ran while the frontend
+    # was computing (measured overlap)
+    assert res.backend_busy_s > 0
+    assert res.overlap_s > 0, (res.backend_busy_s, res.drain_wait_s)
+    # live output still sane
+    pairs = metrics.associate_by_time(res.frontend.t_us, streams.gt_t_us)
+    gt = streams.gt_T_w_imu[pairs[:, 1]]
+    ate_live = metrics.ate_rmse(res.live_T[pairs[:, 0]], gt)
+    assert ate_live < 0.5, ate_live

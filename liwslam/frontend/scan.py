@@ -42,8 +42,30 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from liwslam.core import fastscan
+
 _BIG = 1e9
 _EPS = 1e-8
+
+# Trace-time switch: replace log-depth prefix passes (cumsum /
+# associative_scan, ~10-20 sequential kernels each) with one-shot N^2
+# MXU/VPU forms (core/fastscan) — a latency win on TPU, a FLOP waste on
+# CPU.  None = auto (TPU only); tests pin both paths.
+FAST_PREFIX = None
+
+
+def _use_fast():
+    return jax.default_backend() == "tpu" if FAST_PREFIX is None else FAST_PREFIX
+
+
+def _cumsum(x, axis=0):
+    return fastscan.cumsum_tri(x, axis) if _use_fast() else jnp.cumsum(x, axis)
+
+
+def _packed_prefix_max(packed):
+    if _use_fast():
+        return fastscan.prefix_max(packed)
+    return jax.lax.associative_scan(jnp.maximum, packed, axis=0)
 
 
 class ScanFeatures(NamedTuple):
@@ -71,7 +93,7 @@ def _compact(valid, cap, *arrays):
     Scatter-based stable compaction: O(n) instead of an O(n log^2 n)
     bitonic argsort — the compactions over 2k points / 4k corner pairs are
     part of the per-frame fixed cost."""
-    tgt = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = _cumsum(valid.astype(jnp.int32)) - 1
     idx = jnp.where(valid, tgt, cap + 1)  # invalid / overflow -> dropped
     out_valid = jnp.zeros(cap, bool).at[idx].set(valid, mode="drop")
     outs = tuple(
@@ -124,7 +146,7 @@ def extract_features(
         [jnp.logical_not(cont).astype(dtype)[:, None], x, y, x * x, x * y, y * y, m],
         axis=1,
     )
-    cs7 = jnp.cumsum(cols, 0)
+    cs7 = _cumsum(cols, 0)
     seg_id = cs7[:, 0].astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros((1, 6), dtype), cs7[:, 1:7]], 0)
     seg_start = jax.ops.segment_min(idx, seg_id, num_segments=N + 1)[seg_id]
@@ -162,7 +184,7 @@ def extract_features(
     packed = jnp.stack(
         [jnp.where(is_bp, idx, -1), -jnp.where(is_bp, idx, N + 1)[::-1]], -1
     )
-    pm = jax.lax.associative_scan(jnp.maximum, packed, axis=0)
+    pm = _packed_prefix_max(packed)
     prev_bp = pm[:, 0]
     next_bp = -pm[::-1, 1]
 
@@ -189,7 +211,7 @@ def extract_features(
     packed2 = jnp.stack(
         [jnp.where(keep_bp, idx, -1), -jnp.where(keep_bp, idx, N + 1)[::-1]], -1
     )
-    pm2 = jax.lax.associative_scan(jnp.maximum, packed2, axis=0)
+    pm2 = _packed_prefix_max(packed2)
     prev_kept = pm2[:, 0]
     kept_next = -pm2[::-1, 1]
     span_end = jnp.where(idx < N - 1, kept_next[jnp.minimum(idx + 1, N - 1)], N + 1)

@@ -49,13 +49,15 @@ _EPS = 1e-8
 
 # Trace-time switch: replace log-depth prefix passes (cumsum /
 # associative_scan, ~10-20 sequential kernels each) with one-shot N^2
-# MXU/VPU forms (core/fastscan) — a latency win on TPU, a FLOP waste on
-# CPU.  None = auto (TPU only); tests pin both paths.
-FAST_PREFIX = None
+# MXU/VPU forms (core/fastscan).  OPT-IN (default False) until the TPU
+# A/B lands: the first fast-form compile showed signs of a pathological
+# remote compile (see CLAUDE.md tunnel notes), and the round-end bench
+# must never risk that.  Tests pin parity of both paths.
+FAST_PREFIX = False
 
 
 def _use_fast():
-    return jax.default_backend() == "tpu" if FAST_PREFIX is None else FAST_PREFIX
+    return bool(FAST_PREFIX)
 
 
 def _cumsum(x, axis=0):

@@ -199,6 +199,7 @@ def load_bag(
     laser_topic="/scan",
     wheel_odom_topic="/odom",
     imu_topic="/d400/imu0",
+    camera_topic=None,  # e.g. "/d400/color/image_raw" (config/office.yaml:4)
     max_beams=None,
     T_imu_to_wheel=None,
     gt_path=None,
@@ -218,7 +219,10 @@ def load_bag(
     imu_t, acc, gyro = [], [], []
     odom_t, odom_p, odom_q = [], [], []
     laser = []
+    cam_t, cam_imgs = [], []
     wanted = {laser_topic, wheel_odom_topic, imu_topic}
+    if camera_topic:
+        wanted.add(camera_topic)
     for topic, mtype, msg in rosbag.read_messages(path, topics=wanted):
         if topic == imu_topic:
             imu_t.append(msg["stamp"])
@@ -230,6 +234,9 @@ def load_bag(
             odom_q.append(msg["q_xyzw"])
         elif topic == laser_topic:
             laser.append(msg)
+        elif camera_topic and topic == camera_topic:
+            cam_t.append(msg["stamp"])
+            cam_imgs.append(msg["image"])
     if not laser or not imu_t or not odom_t:
         raise ValueError(
             f"{path}: missing topics (laser={len(laser)}, imu={len(imu_t)}, "
@@ -292,12 +299,18 @@ def load_bag(
         gt_t_us=gt_t_us,
         gt_T_w_imu=gt_T_w_imu,
         gt_T_w_wheel=gt_T_w_wheel,
+        cam_t_us=_to_us(cam_t, t0) if cam_t else np.zeros(0, np.int64),
+        cam_images=(
+            np.stack(cam_imgs).astype(np.float32)
+            if cam_imgs
+            else np.zeros((0, 1, 1), np.float32)
+        ),
     )
 
 
 def save_bag(path, streams: SimStreams, *, t0_s=1560000000.0,
              laser_topic="/scan", wheel_odom_topic="/odom",
-             imu_topic="/d400/imu0"):
+             imu_topic="/d400/imu0", camera_topic="/d400/color/image_raw"):
     """Write ``streams`` as a ROS1 bag (inverse of ``load_bag``; lets the
     simulator emit real .bag fixtures for the converter round-trip)."""
     from liwslam.core import geometry as geo
@@ -353,6 +366,15 @@ def save_bag(path, streams: SimStreams, *, t0_s=1560000000.0,
                     float(da),
                     time_increment=time_inc,
                 ),
+            )
+        cam_t = getattr(streams, "cam_t_us", np.zeros(0, np.int64))
+        for k in range(len(cam_t)):
+            t = cam_t[k] * 1e-6 + t0_s
+            w.write(
+                camera_topic,
+                "sensor_msgs/Image",
+                t,
+                rosbag.serialize_image(t, streams.cam_images[k]),
             )
 
 

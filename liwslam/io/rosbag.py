@@ -225,10 +225,50 @@ def serialize_odometry(stamp, p, q_xyzw, frame="odom", child="base_link"):
     )
 
 
+def parse_image(data: bytes):
+    """sensor_msgs/Image -> grayscale f32 [0,1] (mono8/rgb8/bgr8; the
+    reference converts to mono8 via cv_bridge, sensor.h:126-146)."""
+    r = _Reader(data)
+    stamp, _ = r.header()
+    h = r.take("I")
+    w = r.take("I")
+    enc = r.string()
+    r.take("B")  # is_bigendian
+    step = r.take("I")
+    n = r.take("I")
+    raw = np.frombuffer(r.buf, np.uint8, count=n, offset=r.off)
+    if enc in ("mono8", "8UC1"):
+        img = raw.reshape(h, step)[:, :w].astype(np.float32) / 255.0
+    elif enc in ("rgb8", "bgr8"):
+        px = raw.reshape(h, step)[:, : 3 * w].reshape(h, w, 3).astype(np.float32)
+        rgb = px[..., ::-1] if enc == "bgr8" else px
+        img = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]) / 255.0
+    else:
+        raise ValueError(f"unsupported image encoding {enc!r}")
+    return dict(stamp=stamp, image=img)
+
+
+def serialize_image(stamp, img, frame="camera"):
+    """Grayscale [0,1] f32 -> mono8 sensor_msgs/Image."""
+    a = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    h, w = a.shape
+    enc = b"mono8"
+    return (
+        _ser_header(stamp, frame)
+        + struct.pack("<II", h, w)
+        + struct.pack("<I", len(enc))
+        + enc
+        + struct.pack("<BI", 0, w)
+        + struct.pack("<I", h * w)
+        + a.tobytes()
+    )
+
+
 MSG_TYPES = {
     "sensor_msgs/LaserScan": parse_laser_scan,
     "sensor_msgs/Imu": parse_imu,
     "nav_msgs/Odometry": parse_odometry,
+    "sensor_msgs/Image": parse_image,
 }
 
 

@@ -49,6 +49,12 @@ def main(argv=None):
         metavar="KEY=VALUE",
         help="override any Params field (repeatable), e.g. --param loop_max_dis=2.5",
     )
+    ap.add_argument(
+        "--debug-viz",
+        action="store_true",
+        help="write debug renderings (merged keyframe scans pre/post loop "
+        "correction, trajectory + loop-edge map) into --out",
+    )
     args = ap.parse_args(argv)
 
     from liwslam import config
@@ -174,6 +180,69 @@ def main(argv=None):
             )
             occupancy.write_pgm(os.path.join(args.out, "map.pgm"), grid)
             report["map_cells"] = int((grid >= 0).sum())
+
+        if args.debug_viz:
+            # merged keyframe scans + trajectory/loop map, written on the
+            # async writer thread (visualization-thread equivalent)
+            from liwslam.eval import debug_viz as dv
+            from liwslam.utils.asyncwriter import AsyncWriter
+
+            writer = AsyncWriter()
+            merged_front, merged_back = [], []
+            ki = 0
+            kf_idx = np.flatnonzero(res.is_keyframe)
+            for i, kf in enumerate(mgr.keyframes):
+                l1, l2 = kf.scan_lines
+                if len(l1) == 0:
+                    ki += 1
+                    continue
+                fi = kf_idx[ki] if ki < len(kf_idx) else None
+                if fi is not None:
+                    T_fe = (
+                        np.asarray(
+                            geo.make_tf(
+                                res.p[fi].astype(np.float32),
+                                res.q[fi].astype(np.float32),
+                            )
+                        )
+                        @ Til
+                    )
+                    merged_front.append(dv.transform_lines(l1, l2, T_fe))
+                T_be = (
+                    np.asarray(
+                        geo.make_tf(
+                            kf.p.astype(np.float32), kf.q.astype(np.float32)
+                        )
+                    )
+                    @ Til
+                )
+                merged_back.append(dv.transform_lines(l1, l2, T_be))
+                ki += 1
+            writer.submit(
+                dv.render_merged_scans,
+                os.path.join(args.out, "merged_scans_frontend.png"),
+                merged_front,
+            )
+            writer.submit(
+                dv.render_merged_scans,
+                os.path.join(args.out, "merged_scans_backend.png"),
+                merged_back,
+            )
+            ts_b, Ts_b = mgr.trajectory()
+            loop_pairs = [
+                (mgr.keyframes[i].p[:2], mgr.keyframes[j].p[:2])
+                for i, j, _ in mgr.loop_edges
+            ]
+            writer.submit(
+                dv.render_trajectories,
+                os.path.join(args.out, "trajectory.png"),
+                [(est[:, :2, 3], dv.C_TRAJ_A), (Ts_b[:, :2, 3], dv.C_TRAJ_B)],
+                loop_pairs,
+            )
+            errs = writer.close()
+            if errs:
+                print("\n".join(errs), file=sys.stderr)
+            report["debug_viz"] = True
 
     rec.dump(args.out)
     print(json.dumps(report))

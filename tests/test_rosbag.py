@@ -131,6 +131,50 @@ def test_openloris_bag_roundtrip(tmp_path, sim_streams):
     )
 
 
+def test_image_message_roundtrip():
+    img = np.random.default_rng(0).uniform(0, 1, (24, 32)).astype(np.float32)
+    m = rosbag.parse_image(rosbag.serialize_image(5.5, img))
+    assert abs(m["stamp"] - 5.5) < 1e-6
+    np.testing.assert_allclose(m["image"], img, atol=1.0 / 255)
+    # rgb8 path
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[..., 1] = 255  # pure green
+    import struct as _s
+
+    data = (
+        rosbag._ser_header(1.0, "cam")
+        + _s.pack("<II", 4, 4)
+        + _s.pack("<I", 4) + b"rgb8"
+        + _s.pack("<BI", 0, 12)
+        + _s.pack("<I", 48) + rgb.tobytes()
+    )
+    m2 = rosbag.parse_image(data)
+    np.testing.assert_allclose(m2["image"], 0.587, atol=1e-3)
+
+
+def test_bag_camera_stream_roundtrip(tmp_path, sim_streams):
+    """Camera images flow through save_bag/load_bag (the reference's
+    camera_topic ingestion, lvio_2d_node.cpp:45-48)."""
+    s = sim_streams
+    import dataclasses
+
+    rng = np.random.default_rng(1)
+    s2 = dataclasses.replace(
+        s,
+        cam_t_us=(s.laser_t_us[:4] + 777).astype(np.int64),
+        cam_images=rng.uniform(0, 1, (4, 30, 40)).astype(np.float32),
+    )
+    path = str(tmp_path / "cam.bag")
+    openloris.save_bag(path, s2)
+    out = openloris.load_bag(path, camera_topic="/d400/color/image_raw")
+    np.testing.assert_array_equal(out.cam_t_us, s2.cam_t_us)
+    assert out.cam_images.shape == (4, 30, 40)
+    np.testing.assert_allclose(out.cam_images, s2.cam_images, atol=1.0 / 255)
+    # without camera_topic the camera stream is skipped
+    out2 = openloris.load_bag(path)
+    assert len(out2.cam_t_us) == 0
+
+
 def test_convert_cli(tmp_path, sim_streams):
     import subprocess
     import sys

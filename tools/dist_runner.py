@@ -130,6 +130,43 @@ def worker(args):
     p_out = np.asarray(jax.device_get(g_out.p))
     q_out = np.asarray(jax.device_get(g_out.q))
 
+    if args.bench:
+        # scaling-efficiency harness: time the SHARDED solve over the
+        # global mesh (the number this produces on a real pod at N hosts
+        # vs 1 host is the >=70%-efficiency BASELINE target; on virtual
+        # CPU devices the absolute ratio is not meaningful, the harness
+        # and its methodology are what ship)
+        import time
+
+        solve = jax.jit(
+            lambda g: pgd.solve_pcg_sharded(
+                g, consts, mesh, "pg", gn_iters=10, cg_iters=40
+            )
+        )
+        jax.block_until_ready(solve(g_sh))
+        ts = []
+        for _ in range(args.bench_repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(solve(g_sh))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        if args.process_id == 0:
+            with open(args.out, "w") as fh:
+                json.dump(
+                    {
+                        "ok": True,
+                        "bench": "posegraph_sharded",
+                        "n_processes": args.num_processes,
+                        "devices": n_global,
+                        "K": K,
+                        "E": E,
+                        "ms": round(ts[len(ts) // 2] * 1e3, 3),
+                    },
+                    fh,
+                )
+        jax.distributed.shutdown()
+        return
+
     if args.process_id == 0:
         # single-process baseline (unsharded solver on local devices)
         re0, rg0 = pg.graph_residuals(g, consts)
@@ -189,6 +226,8 @@ def launcher(args):
             "--out",
             out,
         ]
+        if args.bench:
+            cmd += ["--bench", "--bench-repeats", str(args.bench_repeats)]
         env = dict(os.environ)
         procs.append(subprocess.Popen(cmd, env=env))
     rc = [p.wait(timeout=args.timeout) for p in procs]
@@ -213,6 +252,14 @@ def main():
     ap.add_argument("--edges", type=int, default=128)
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--bench",
+        action="store_true",
+        help="time the sharded solve instead of the equivalence check "
+        "(scaling-efficiency harness: run at --num-processes 1 and N, "
+        "efficiency = t1 / (N * tN))",
+    )
+    ap.add_argument("--bench-repeats", type=int, default=5)
     args = ap.parse_args()
     if args.worker:
         worker(args)

@@ -92,14 +92,20 @@ class ScanFeatures(NamedTuple):
 def _compact(valid, cap, *arrays):
     """Take the first ``cap`` valid rows (scan order) of each array.
 
-    Scatter-based stable compaction: O(n) instead of an O(n log^2 n)
-    bitonic argsort — the compactions over 2k points / 4k corner pairs are
-    part of the per-frame fixed cost."""
-    tgt = _cumsum(valid.astype(jnp.int32)) - 1
-    idx = jnp.where(valid, tgt, cap + 1)  # invalid / overflow -> dropped
-    out_valid = jnp.zeros(cap, bool).at[idx].set(valid, mode="drop")
+    top_k + GATHER instead of a cumsum + scatter: TPU scatters serialize
+    (they were the dominant cost of extraction — ablation round 2), while
+    top_k over (valid ? index : N) returns the first ``cap`` valid
+    positions in stable order and the rows come out as fast gathers."""
+    N = valid.shape[0]
+    keys = jnp.where(valid, jnp.arange(N, dtype=jnp.int32), N)
+    neg_vals, pos = jax.lax.top_k(-keys, cap)  # k smallest keys, ascending
+    out_valid = neg_vals > -N
     outs = tuple(
-        jnp.zeros((cap,) + a.shape[1:], a.dtype).at[idx].set(a, mode="drop")
+        jnp.where(
+            out_valid.reshape((cap,) + (1,) * (a.ndim - 1)),
+            a[pos],
+            jnp.zeros((), a.dtype),
+        )
         for a in arrays
     )
     return (out_valid,) + outs
@@ -151,8 +157,23 @@ def extract_features(
     cs7 = _cumsum(cols, 0)
     seg_id = cs7[:, 0].astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros((1, 6), dtype), cs7[:, 1:7]], 0)
-    seg_start = jax.ops.segment_min(idx, seg_id, num_segments=N + 1)[seg_id]
-    seg_end = jax.ops.segment_max(idx, seg_id, num_segments=N + 1)[seg_id]
+    # per-point segment bounds WITHOUT segment_min/max scatters (TPU
+    # scatters serialize): seg_start = last segment-start at or before i
+    # (fwd cummax), seg_end = next segment-start after i, minus one (rev
+    # cummin) — one packed scan for both directions
+    start_flag = jnp.logical_not(cont)  # first point of each segment
+    packed0 = jnp.stack(
+        [
+            jnp.where(start_flag, idx, -1),
+            -jnp.where(start_flag, idx, 2 * N)[::-1],
+        ],
+        -1,
+    )
+    pm0 = _packed_prefix_max(packed0)
+    seg_start = pm0[:, 0]
+    next_start = -pm0[::-1, 1]  # inclusive rev-min of start indices
+    next_start = jnp.concatenate([next_start[1:], jnp.full((1,), N, jnp.int32)])
+    seg_end = jnp.minimum(next_start - 1, N - 1)
 
     # --- 2. corner response (clac_cos over a clamped ±step window) -------
     j_idx = jnp.maximum(idx - step, seg_start)
@@ -253,16 +274,21 @@ def extract_features(
     e2 = project(xy[i2], nvec, cc)
     length = jnp.linalg.norm(e2 - e1, axis=-1)
 
-    # per-point distance to its own span's line -> segment_max per span
-    # (a span is identified by its starting kept breakpoint; prev_kept
-    # comes from the packed scan in step 4)
-    own_span = jnp.clip(prev_kept, 0, N - 1)
-    d_own = jnp.abs(
-        jnp.sum(xy * nvec[own_span], -1) + cc[own_span]
+    # max point-to-line distance over each candidate span, as ONE dense
+    # (span x point) masked row-max — no segment_max scatter (TPU
+    # scatters serialize; extraction ablation round 2).  Rows without a
+    # valid candidate produce garbage that line_ok masks away.
+    # points of span [i1, i2): the shared breakpoint i2 belongs to the
+    # NEXT span (prev_kept grouping semantics of the scatter form)
+    in_span = (
+        (idx[None, :] >= i1[:, None])
+        & (idx[None, :] < i2[:, None])
+        & valid[None, :]
     )
-    d_own = jnp.where(valid & (prev_kept >= 0), d_own, 0.0)
-    max_d = jax.ops.segment_max(d_own, own_span, num_segments=N)
-    max_d = jnp.where(jnp.isfinite(max_d), max_d, 0.0)
+    d_all = jnp.abs(
+        jnp.einsum("nd,md->mn", xy, nvec) + cc[:, None]
+    )  # (span m, point n) — one MXU matmul
+    max_d = jnp.max(jnp.where(in_span, d_all, 0.0), axis=1)
 
     line_ok = (
         cand_valid

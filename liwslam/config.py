@@ -158,6 +158,9 @@ class Params:
     # "chol" (XLA normal eqs + 30x30 Cholesky), or "qr" (augmented LSQ,
     # best conditioning); init solve and pose graph always use "qr"
     solver_method: str = "auto"
+    # extraction prefix passes: "auto" (one-shot N^2 fastscan forms on
+    # TPU, log-depth scans elsewhere), "on", "off".  See frontend/scan.py.
+    fast_prefix: str = "off"
     dtype: str = "float32"  # device dtype for the solve path
 
     # ------------------------------------------------------------------

@@ -103,6 +103,9 @@ class Frontend:
             self.ccfg = cpl.make_cam_static_cfg(params)
             self.cdyn = cpl.make_cam_dyn_cfg(params, dtype)
         self._compiled = {}
+        # camera rows solved inside the init window (filled by
+        # _finish_init when enable_camera; reported by run())
+        self._init_cam_rows = []
         from liwslam.utils.record import Record
 
         # per-stage timing stats (reference `record`, record.h:19-93;
@@ -188,6 +191,7 @@ class Frontend:
                     resolution=dcfg.resolution,
                     max_lines=scfg.max_lines,
                     max_corners=scfg.max_corners,
+                    fast_prefix=scfg.fast_prefix,
                 )
 
             self._compiled["extract"] = extract
@@ -387,6 +391,7 @@ class Frontend:
         interval), and camera observations are LK-tracked throughout —
         including over skipped frames, since the reference runs
         ``camera_manger_.add_frame`` before any accept gate."""
+        self._init_cam_rows = []
         prm = self.params
         dtype = self.dtype
         use_cam = prm.enable_camera
@@ -493,6 +498,7 @@ class Frontend:
                             wheel=wheel_res_a,
                             feats=None,
                             match=None,
+                            n_tracked=int(np.sum(np.asarray(cam_state.live))),
                         )
                     )
                     cam_entries.append(len(window) - 1)
@@ -742,6 +748,21 @@ class Frontend:
                 ring_q=jnp.asarray(ring_q),
                 ring_valid=jnp.asarray(slot_valid),
             )
+            # camera entries solved inside the init window are reported in
+            # FrontendResult.cam_* too (advisor r2: they were silently
+            # omitted).  Poses come from the optimized window; n_ready is
+            # the post-init triangulation count (shared by all entries).
+            n_ready_init = int(np.sum(ready_init))
+            self._init_cam_rows = [
+                (
+                    window[i]["t_us"],
+                    np.asarray(st_opt.p[i]),
+                    np.asarray(st_opt.q[i]),
+                    int(window[i].get("n_tracked", 0)),
+                    n_ready_init,
+                )
+                for i in cam_entries
+            ]
 
         # rebuild submaps from optimized poses (trajectory.cpp:466-478)
         pair = mm.empty_pair(prm.ref_capacity, dtype)
@@ -810,7 +831,9 @@ class Frontend:
         out_t, out_p, out_q, out_v, out_bs = [], [], [], [], []
         out_kf, out_nm, out_nl = [], [], []
         kf_corners, kf_indices, kf_scans = [], [], []
-        cam_rows = []  # (t_us, p, q, n_tracked, n_ready) per camera frame
+        # (t_us, p, q, n_tracked, n_ready) per camera frame; init-window
+        # entries (solved by init_solve) come first, in time order
+        cam_rows = list(self._init_cam_rows)
 
         # init window frames are reported too (they're part of fornt_end.txt)
         out_t.extend(int(t) for t in init_times)

@@ -53,6 +53,10 @@ class StaticCfg(NamedTuple):
     fast_mode: bool
     solver_max_iterations: int
     solver_method: str
+    # "auto" | "on" | "off" — one-shot N^2 prefix forms in extraction
+    # (core/fastscan); part of the jit cache key so same-process A/Bs of
+    # the two paths are valid (an earlier module-global switch was not)
+    fast_prefix: str = "off"
 
 
 class DynCfg(NamedTuple):
@@ -84,6 +88,7 @@ def make_static_cfg(params) -> StaticCfg:
         fast_mode=params.fast_mode,
         solver_max_iterations=params.solver_max_iterations,
         solver_method=params.solver_method,
+        fast_prefix=params.fast_prefix,
     )
 
 
@@ -299,6 +304,7 @@ def tracking_step(
         resolution=dcfg.resolution,
         max_lines=scfg.max_lines,
         max_corners=scfg.max_corners,
+        fast_prefix=scfg.fast_prefix,
     )
 
     # --- 5. match against the reference submap ----------------------------

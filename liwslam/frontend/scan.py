@@ -47,25 +47,39 @@ from liwslam.core import fastscan
 _BIG = 1e9
 _EPS = 1e-8
 
-# Trace-time switch: replace log-depth prefix passes (cumsum /
-# associative_scan, ~10-20 sequential kernels each) with one-shot N^2
-# MXU/VPU forms (core/fastscan).  OPT-IN (default False) until the TPU
-# A/B lands: the first fast-form compile showed signs of a pathological
-# remote compile (see CLAUDE.md tunnel notes), and the round-end bench
-# must never risk that.  Tests pin parity of both paths.
+# Module-level default for the fast-prefix switch (one-shot N^2 forms of
+# the prefix passes, core/fastscan).  Only consulted when a caller passes
+# ``fast_prefix=None``; the production path threads the choice through
+# StaticCfg so it participates in the jit cache key (a module global read
+# at trace time would bake the FIRST compile's choice into every cached
+# program and silently invalidate same-process A/Bs).
 FAST_PREFIX = False
 
 
-def _use_fast():
-    return bool(FAST_PREFIX)
+def resolve_fast_prefix(setting) -> bool:
+    """Resolve a fast-prefix setting to a trace-time bool.
+
+    ``None`` -> module default; ``"auto"`` -> on for TPU backends (the
+    one-shot forms trade O(N^2) FLOPs for sequential kernel depth, a win
+    only where the program is latency-bound); ``"on"``/``"off"``/bool ->
+    as given."""
+    if setting is None:
+        return bool(FAST_PREFIX)
+    if isinstance(setting, bool):
+        return setting
+    if setting == "auto":
+        return jax.default_backend() == "tpu"
+    if setting in ("on", "off"):
+        return setting == "on"
+    raise ValueError(f"bad fast_prefix setting: {setting!r}")
 
 
-def _cumsum(x, axis=0):
-    return fastscan.cumsum_tri(x, axis) if _use_fast() else jnp.cumsum(x, axis)
+def _cumsum(x, axis=0, fast=False):
+    return fastscan.cumsum_tri(x, axis) if fast else jnp.cumsum(x, axis)
 
 
-def _packed_prefix_max(packed):
-    if _use_fast():
+def _packed_prefix_max(packed, fast=False):
+    if fast:
         return fastscan.prefix_max(packed)
     return jax.lax.associative_scan(jnp.maximum, packed, axis=0)
 
@@ -97,9 +111,17 @@ def _compact(valid, cap, *arrays):
     top_k over (valid ? index : N) returns the first ``cap`` valid
     positions in stable order and the rows come out as fast gathers."""
     N = valid.shape[0]
+    # top_k(k) requires k <= N; a config with cap above the candidate
+    # count (e.g. max_corners > corner-pair grid) must pad, not error
+    cap_eff = min(cap, N)
     keys = jnp.where(valid, jnp.arange(N, dtype=jnp.int32), N)
-    neg_vals, pos = jax.lax.top_k(-keys, cap)  # k smallest keys, ascending
+    neg_vals, pos = jax.lax.top_k(-keys, cap_eff)  # k smallest keys, ascending
     out_valid = neg_vals > -N
+    if cap_eff < cap:
+        out_valid = jnp.concatenate(
+            [out_valid, jnp.zeros(cap - cap_eff, bool)]
+        )
+        pos = jnp.concatenate([pos, jnp.zeros(cap - cap_eff, pos.dtype)])
     outs = tuple(
         jnp.where(
             out_valid.reshape((cap,) + (1,) * (a.ndim - 1)),
@@ -128,8 +150,10 @@ def extract_features(
     max_lines: int,
     max_corners: int,
     step: int = 3,
+    fast_prefix=None,
 ) -> ScanFeatures:
     """points: (N,3) ordered scan points (z ignored); valid: (N,) bool."""
+    fast = resolve_fast_prefix(fast_prefix)
     N = points.shape[0]
     dtype = points.dtype
     xy = points[:, :2]
@@ -154,7 +178,7 @@ def extract_features(
         [jnp.logical_not(cont).astype(dtype)[:, None], x, y, x * x, x * y, y * y, m],
         axis=1,
     )
-    cs7 = _cumsum(cols, 0)
+    cs7 = _cumsum(cols, 0, fast=fast)
     seg_id = cs7[:, 0].astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros((1, 6), dtype), cs7[:, 1:7]], 0)
     # per-point segment bounds WITHOUT segment_min/max scatters (TPU
@@ -169,7 +193,7 @@ def extract_features(
         ],
         -1,
     )
-    pm0 = _packed_prefix_max(packed0)
+    pm0 = _packed_prefix_max(packed0, fast=fast)
     seg_start = pm0[:, 0]
     next_start = -pm0[::-1, 1]  # inclusive rev-min of start indices
     next_start = jnp.concatenate([next_start[1:], jnp.full((1,), N, jnp.int32)])
@@ -207,7 +231,7 @@ def extract_features(
     packed = jnp.stack(
         [jnp.where(is_bp, idx, -1), -jnp.where(is_bp, idx, N + 1)[::-1]], -1
     )
-    pm = _packed_prefix_max(packed)
+    pm = _packed_prefix_max(packed, fast=fast)
     prev_bp = pm[:, 0]
     next_bp = -pm[::-1, 1]
 
@@ -234,7 +258,7 @@ def extract_features(
     packed2 = jnp.stack(
         [jnp.where(keep_bp, idx, -1), -jnp.where(keep_bp, idx, N + 1)[::-1]], -1
     )
-    pm2 = _packed_prefix_max(packed2)
+    pm2 = _packed_prefix_max(packed2, fast=fast)
     prev_kept = pm2[:, 0]
     kept_next = -pm2[::-1, 1]
     span_end = jnp.where(idx < N - 1, kept_next[jnp.minimum(idx + 1, N - 1)], N + 1)

@@ -344,13 +344,15 @@ def save_bag(path, streams: SimStreams, *, t0_s=1560000000.0,
             t = streams.laser_t_us[k] * 1e-6 + t0_s
             xy = streams.laser_points[k, :, :2]
             r = np.linalg.norm(xy, axis=-1)
-            ang = np.unwrap(np.arctan2(xy[:, 1], xy[:, 0]))
             ok = streams.laser_valid[k] & (r > 0.1)
             idx = np.flatnonzero(ok)
             if len(idx) >= 2:
-                i0, i1 = idx[0], idx[-1]
-                da = (ang[i1] - ang[i0]) / max(i1 - i0, 1)
-                a0 = ang[i0] - da * i0
+                # fit a0/da over VALID beams only: invalid returns are
+                # (0,0) and unwrapping arctan2 through them corrupts the
+                # angle sequence, silently dropping interleaved beams on
+                # round-trip (advisor r2)
+                av = np.unwrap(np.arctan2(xy[idx, 1], xy[idx, 0]))
+                da, a0 = np.polyfit(idx.astype(np.float64), av, 1)
             else:
                 a0, da = -np.pi, 2 * np.pi / max(len(r), 1)
             tr = streams.laser_times_rel[k]

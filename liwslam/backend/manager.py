@@ -59,6 +59,13 @@ class KeyframeManager:
         # keyframes' (index, corners) — avoids re-scanning all keyframes
         # on every spawn (keyframe_manager.cpp:898-925 walks the deque tail)
         self._corner_hist: dict = {}
+        # session co-registration (union-find): sessions joined by a loop
+        # edge share a pose-graph frame.  Odometry-frame gates (distance,
+        # drift) are meaningless between sessions NOT yet co-registered —
+        # each robot's odometry has its own origin — so those gates apply
+        # only within a group (no reference counterpart: the reference is
+        # single-session)
+        self._session_root: dict = {}
 
     # ------------------------------------------------------------------
 
@@ -176,6 +183,23 @@ class KeyframeManager:
     def modify_delta_tf(self, session=0):
         return self._modify_delta.get(session, np.eye(4))
 
+    # -- session co-registration (union-find) ---------------------------
+
+    def _find_session(self, s):
+        root = self._session_root.setdefault(s, s)
+        while root != self._session_root.setdefault(root, root):
+            root = self._session_root[root]
+        self._session_root[s] = root
+        return root
+
+    def _union_sessions(self, a, b):
+        ra, rb = self._find_session(a), self._find_session(b)
+        if ra != rb:
+            self._session_root[rb] = ra
+
+    def sessions_coregistered(self, a, b) -> bool:
+        return self._find_session(a) == self._find_session(b)
+
     def _is_time_to_solve(self, t_us):
         return (
             self.has_loop_pending
@@ -258,6 +282,7 @@ class KeyframeManager:
         # preserves the result as long as candidates are then examined in
         # the original stride order)
         cands = []
+        p_new = self.keyframes[-1].p
         for i in range(0, len(feats), stride):
             m2 = feats[i]
             if m2 is None:
@@ -269,9 +294,24 @@ class KeyframeManager:
             # cross-session candidates are always eligible
             if int(np.asarray(m2.valid).sum()) < prm.laser_loop_min_match_threshold:
                 continue
-            dorigin = np.linalg.inv(np.asarray(m1.origin)) @ np.asarray(m2.origin)
-            if np.linalg.norm(dorigin[:3, 3]) > prm.loop_max_dis:
-                continue
+            # distance gate: same session -> odometry-origin distance
+            # (reference behavior); co-registered other session ->
+            # corrected-pose distance (shared pose-graph frame); not yet
+            # co-registered -> no gate (each robot's odometry origin is
+            # arbitrary, so no distance is defined)
+            cand_session = self.keyframes[i].session
+            if cand_session == cur_session:
+                dorigin = np.linalg.inv(np.asarray(m1.origin)) @ np.asarray(
+                    m2.origin
+                )
+                if np.linalg.norm(dorigin[:3, 3]) > prm.loop_max_dis:
+                    continue
+            elif self.sessions_coregistered(cur_session, cand_session):
+                if (
+                    np.linalg.norm(p_new[:2] - self.keyframes[i].p[:2])
+                    > prm.loop_max_dis
+                ):
+                    continue
             cands.append((i, m2))
         if not cands:
             return None
@@ -322,17 +362,44 @@ class KeyframeManager:
             P2B[:, 2] = 0
             w_T12 = loop_mod.kabsch_2d(P1A, P2B)
             i_t12 = self.T_iw @ w_T12 @ np.linalg.inv(self.T_iw)
-            # drift gate
-            track_t12 = np.linalg.inv(tf1) @ tf2
-            err = np.linalg.inv(i_t12) @ track_t12
-            dp, dq = geo.log_SE3(jnp.asarray(err, self.dtype))
-            if (
-                float(jnp.linalg.norm(dp)) > prm.loop_max_tf_p
-                or float(jnp.linalg.norm(dq)) > prm.loop_max_tf_q
-            ):
-                continue
+            # drift gate.  Same session: tracking-frame delta exactly like
+            # the reference (keyframe_manager.cpp:694-699).  Co-registered
+            # other session: corrected-pose delta (the only shared frame).
+            # Not yet co-registered: skipped — the sessions' frames are
+            # unrelated until the first cross-session loop aligns them.
+            s1 = self.keyframes[i1].session
+            s2 = self.keyframes[i2].session
+            if s1 == s2:
+                track_t12 = np.linalg.inv(tf1) @ tf2
+            elif self.sessions_coregistered(s1, s2):
+                Tc1 = np.asarray(
+                    geo.make_tf(
+                        jnp.asarray(self.keyframes[i1].p),
+                        jnp.asarray(self.keyframes[i1].q),
+                    ),
+                    np.float64,
+                )
+                Tc2 = np.asarray(
+                    geo.make_tf(
+                        jnp.asarray(self.keyframes[i2].p),
+                        jnp.asarray(self.keyframes[i2].q),
+                    ),
+                    np.float64,
+                )
+                track_t12 = np.linalg.inv(Tc1) @ Tc2
+            else:
+                track_t12 = None
+            if track_t12 is not None:
+                err = np.linalg.inv(i_t12) @ track_t12
+                dp, dq = geo.log_SE3(jnp.asarray(err, self.dtype))
+                if (
+                    float(jnp.linalg.norm(dp)) > prm.loop_max_tf_p
+                    or float(jnp.linalg.norm(dq)) > prm.loop_max_tf_q
+                ):
+                    continue
             if not self._verify_loop(i1, i2, i_t12):
                 continue
+            self._union_sessions(s1, s2)
             return (i1, i2, i_t12)
         return None
 

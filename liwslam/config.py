@@ -158,9 +158,15 @@ class Params:
     # "chol" (XLA normal eqs + 30x30 Cholesky), or "qr" (augmented LSQ,
     # best conditioning); init solve and pose graph always use "qr"
     solver_method: str = "auto"
+    # pallas tracking kernel: exit the in-kernel LM loop at convergence
+    # instead of running frozen iterations to max_iters (identical
+    # result; ~2x less in-kernel work at mean 3.1 converged iterations)
+    solver_early_exit: bool = True
     # extraction prefix passes: "auto" (one-shot N^2 fastscan forms on
-    # TPU, log-depth scans elsewhere), "on", "off".  See frontend/scan.py.
-    fast_prefix: str = "off"
+    # TPU, log-depth scans elsewhere), "on", "off".  Measured round 3
+    # (tools/ab_fastscan.py, same-process TPU A/B, 5 passes): on wins
+    # 997 vs 978 fps median (~2%), consistent across passes.
+    fast_prefix: str = "auto"
     dtype: str = "float32"  # device dtype for the solve path
 
     # ------------------------------------------------------------------

@@ -57,6 +57,8 @@ class StaticCfg(NamedTuple):
     # (core/fastscan); part of the jit cache key so same-process A/Bs of
     # the two paths are valid (an earlier module-global switch was not)
     fast_prefix: str = "off"
+    # pallas LM loop: while_loop early exit vs fixed-trip fori
+    solver_early_exit: bool = True
 
 
 class DynCfg(NamedTuple):
@@ -89,6 +91,7 @@ def make_static_cfg(params) -> StaticCfg:
         solver_max_iterations=params.solver_max_iterations,
         solver_method=params.solver_method,
         fast_prefix=params.fast_prefix,
+        solver_early_exit=params.solver_early_exit,
     )
 
 
@@ -344,6 +347,7 @@ def tracking_step(
             consts,
             max_iters=scfg.solver_max_iterations,
             interpret=jax.default_backend() != "tpu",
+            early_exit=scfg.solver_early_exit,
         )
         if scfg.fast_mode:
             prior_J, prior_X, prior_res, prior_valid = (

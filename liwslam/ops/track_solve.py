@@ -571,6 +571,7 @@ def _kernel(
     lam_max: float,
     ftol: float,
     xtol: float,
+    early_exit: bool,
 ):
     dtype = jnp.float32
     state = state_ref[:]
@@ -687,12 +688,27 @@ def _kernel(
         done_n = done | (rel_change < ftol) | xtol_hit | stalled
         return (x_n, r_n, J_n, lam_n, c_n, done_n)
 
-    x, r, J, lam, c, _ = jax.lax.fori_loop(
-        0,
-        max_iters,
-        body,
-        (x0, r0, J0, jnp.asarray(lam_init, dtype), c0, jnp.asarray(False)),
-    )
+    carry0 = (x0, r0, J0, jnp.asarray(lam_init, dtype), c0, jnp.asarray(False))
+    if early_exit:
+        # in-kernel while_loop: once converged (done), STOP instead of
+        # running frozen no-op iterations — real frames converge in ~3
+        # LM iterations (CLAUDE.md) while max_iters=8, so the fixed-trip
+        # fori form wasted more than half the per-frame solve time.
+        # The loop body freezes all state once done, so exiting at the
+        # first done iteration yields the identical final carry.
+        def cond_fn(ic):
+            i, carry = ic
+            return jnp.logical_and(i < max_iters, jnp.logical_not(carry[-1]))
+
+        def body_w(ic):
+            i, carry = ic
+            return (i + 1, body(i, carry))
+
+        _, (x, r, J, lam, c, _) = jax.lax.while_loop(
+            cond_fn, body_w, (jnp.asarray(0, jnp.int32), carry0)
+        )
+    else:
+        x, r, J, lam, c, _ = jax.lax.fori_loop(0, max_iters, body, carry0)
 
     # Schur reduction at the solution (gn.marginalize math, keep=15)
     H, gm_full = normal_eqs(r, J, mask_cols=False)  # gm_full = -J^T r
@@ -780,7 +796,8 @@ def pack_inputs(x0, free, data, consts, dtype=jnp.float32):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "ftol", "xtol", "interpret")
+    jax.jit,
+    static_argnames=("max_iters", "ftol", "xtol", "interpret", "early_exit"),
 )
 def lm_solve_track(
     x0,
@@ -792,6 +809,7 @@ def lm_solve_track(
     ftol: float = 3e-4,
     xtol: float = 1e-7,
     interpret: bool = False,
+    early_exit: bool = True,
 ):
     """One-kernel tracking solve.  Returns (x_opt, cost, dH (15,15), dg (15,)).
 
@@ -811,6 +829,7 @@ def lm_solve_track(
         lam_max=1e8,
         ftol=ftol,
         xtol=xtol,
+        early_exit=early_exit,
     )
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out, schur = pl.pallas_call(

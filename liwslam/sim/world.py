@@ -36,16 +36,21 @@ def make_tf_np(p, yaw):
 
 @dataclass
 class TwistTrack:
-    """Piecewise-constant body twist (v_x, v_y, omega_z) wheel trajectory."""
+    """Piecewise-constant body twist (v_x, v_y, omega_z) wheel trajectory.
+
+    ``T0`` optionally places the track's start pose in the world (multi-
+    robot scenes: each robot's odometry is still relative to its own
+    start, but raycast/GT use the world pose)."""
 
     segments: list  # list of (duration_s, vx, vy, wz)
+    T0: np.ndarray = None  # (4,4) world start pose; identity if None
 
     def total_time(self):
         return sum(s[0] for s in self.segments)
 
     def pose(self, t: float) -> np.ndarray:
         """Exact wheel pose at time t (closed-form twist integration)."""
-        T = np.eye(4)
+        T = np.eye(4) if self.T0 is None else np.asarray(self.T0, np.float64)
         rem = t
         for dur, vx, vy, wz in self.segments:
             dt = min(rem, dur)

@@ -55,6 +55,9 @@ def save_manager(prefix, mgr):
         "kf_is_laser": [kf.is_laser for kf in mgr.keyframes],
         "mf_present": [f is not None for f in mgr.map_features],
         "mf_index": [int(f.index) if f is not None else -1 for f in mgr.map_features],
+        "session_root": {
+            str(s): int(r) for s, r in mgr._session_root.items()
+        },
     }
     arrays = {}
     for k, kf in enumerate(mgr.keyframes):
@@ -91,6 +94,9 @@ def load_manager(prefix, params):
     }
     mgr.last_solve_t_us = head["last_solve_t_us"]
     mgr.has_loop_pending = head["has_loop_pending"]
+    mgr._session_root = {
+        int(s): int(r) for s, r in head.get("session_root", {}).items()
+    }
     for k in range(head["n_keyframes"]):
         mgr.keyframes.append(
             Keyframe(

@@ -1,0 +1,158 @@
+"""Multi-robot end-to-end (BASELINE config 5): two simulated robots with
+UNRELATED odometry origins map the same room through two independent front
+ends feeding ONE shared KeyframeManager; a cross-session loop closure must
+rigidly align robot B's map to robot A's frame, ATE-gated.
+
+No reference counterpart (the reference is single-session); the per-session
+re-basing generalizes keyframe_manager.cpp:468-473."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from liwslam import config
+from liwslam.backend.manager import KeyframeManager
+from liwslam.core import geometry as geo
+from liwslam.frontend.driver import Frontend
+from liwslam.sim import world as sim
+
+
+def mr_params():
+    # 720 beams: corner yield collapses below that (~6 corners/scan at
+    # 720 vs ~1 at 540 in the rich room), and the loop descriptor needs
+    # >= laser_loop_min_match_threshold distinct corners per map
+    return config.office().replace(
+        max_points=768,
+        max_lines=48,
+        max_corners=16,
+        ref_capacity=384,
+        max_imu_per_frame=32,
+        max_wheel_per_frame=8,
+        solver_max_iterations=5,
+        init_solver_max_iterations=20,
+        loop_detect_min_interval=1000,  # same-session loops off: isolate x-session
+        submap_count=8,
+        pose_graph_solve_interval_s=4.0,
+        loop_max_dis=2.5,
+    )
+
+
+def se2(x, y, th):
+    T = np.eye(4)
+    c, s = np.cos(th), np.sin(th)
+    T[:2, :2] = [[c, -s], [s, c]]
+    T[0, 3], T[1, 3] = x, y
+    return T
+
+
+@pytest.fixture(scope="module")
+def two_robot_run():
+    prm = mr_params()
+    room = sim.square_room(size=12.0, obstacles=True, rich=True)
+    leg = [(3.5, 0.35, 0.0, 0.0), (2.6, 0.25, 0.0, np.pi / 2 / 2.6)]
+    # robot A: a lap of the room from its own origin
+    track_a = sim.TwistTrack([(2.0, 0.0, 0.0, 0.0)] + leg * 4)
+    # robot B: starts elsewhere with a rotated frame, overlapping path
+    T0_b = se2(0.9, -0.7, 0.55)
+    track_b = sim.TwistTrack([(2.0, 0.0, 0.0, 0.0)] + leg * 3, T0=T0_b)
+    common = dict(
+        imu_hz=100, wheel_hz=20, laser_hz=4, n_beams=720, noise=True
+    )
+    streams_a = sim.simulate(track_a, room, prm, seed=3, **common)
+    streams_b = sim.simulate(track_b, room, prm, seed=4, **common)
+
+    res_a = Frontend(prm).run(streams_a, chunk_size=16)
+    res_b = Frontend(prm).run(streams_b, chunk_size=16)
+
+    # interleave both robots' keyframes by true time into ONE manager
+    mgr = KeyframeManager(prm)
+    feed = []
+    for session, res in ((0, res_a), (1, res_b)):
+        ki = 0
+        for fi in np.flatnonzero(res.is_keyframe):
+            feed.append(
+                (
+                    int(res.t_us[fi]),
+                    session,
+                    res.p[fi],
+                    res.q[fi],
+                    res.kf_corners[ki],
+                    res.kf_scans[ki],
+                )
+            )
+            ki += 1
+    feed.sort(key=lambda r: (r[0], r[1]))
+    for t_us, session, p, q, corners, scan_lines in feed:
+        mgr.add_keyframe(
+            t_us=t_us,
+            p=p,
+            q=q,
+            corners=corners,
+            scan_lines=scan_lines,
+            session=session,
+        )
+    return prm, streams_a, streams_b, res_a, res_b, mgr, T0_b
+
+
+def test_cross_session_loop_found(two_robot_run):
+    _, _, _, _, _, mgr, _ = two_robot_run
+    x_loops = [
+        (i, j)
+        for i, j, _ in mgr.loops_found
+        if mgr.keyframes[i].session != mgr.keyframes[j].session
+    ]
+    assert len(x_loops) >= 1, "no cross-session loop closed"
+    assert mgr.sessions_coregistered(0, 1)
+
+
+def test_robot_b_map_aligns_to_robot_a(two_robot_run):
+    """After the cross-session solve, B's corrected keyframes live in A's
+    estimate frame — which IS the sim world frame: the front end anchors
+    its first pose at inv(T_imu_to_wheel) (wheel start = world origin,
+    trajectory.cpp:39-68), and robot A starts at the world origin.  So
+    B's corrected poses must land directly on B's world ground truth,
+    despite B's own odometry frame being offset by T0_b.
+
+    Measured when this gate was set: B median error 8 mm against a
+    1.14 m initial frame misalignment (A: 6 mm)."""
+    prm, streams_a, streams_b, res_a, res_b, mgr, T0_b = two_robot_run
+    ts, Ts = mgr.trajectory()
+
+    def gt_at(streams, t_us):
+        i = np.argmin(np.abs(streams.gt_t_us - t_us))
+        return streams.gt_T_w_imu[i]
+
+    errs = []
+    for i, kf in enumerate(mgr.keyframes):
+        if kf.session != 1:
+            continue
+        w_est = Ts[i]
+        w_gt = gt_at(streams_b, kf.t_us)
+        errs.append(np.linalg.norm(w_est[:2, 3] - w_gt[:2, 3]))
+    errs = np.asarray(errs)
+    offset = np.linalg.norm(T0_b[:2, 3])  # initial frame misalignment
+    assert offset > 0.5  # the test is nontrivial
+    assert np.median(errs) < 0.1, (np.median(errs), offset)
+    assert errs.max() < 0.3, (errs.max(), offset)
+    # and B really was moved: corrected poses differ from raw tracking
+    moved = [
+        np.linalg.norm(Ts[i][:2, 3] - mgr.keyframes[i].T_tracking[:2, 3])
+        for i, kf in enumerate(mgr.keyframes)
+        if kf.session == 1
+    ]
+    assert np.median(moved) > 0.1
+
+
+def test_robot_a_unaffected_by_alignment(two_robot_run):
+    """Aligning B must not corrupt A's map: A's corrected keyframes stay
+    near its own (already accurate) odometry."""
+    prm, streams_a, _, res_a, _, mgr, _ = two_robot_run
+    ts, Ts = mgr.trajectory()
+    errs = []
+    for i, kf in enumerate(mgr.keyframes):
+        if kf.session != 0:
+            continue
+        errs.append(
+            np.linalg.norm(Ts[i][:2, 3] - kf.T_tracking[:2, 3])
+        )
+    assert np.median(errs) < 0.15, np.median(errs)

@@ -1,15 +1,16 @@
-"""Pallas kernel parity vs the pure-XLA reference implementations.
+"""Descriptor scoring invariants of the batched XLA production path.
 
-Kernels are exercised in interpreter mode on CPU (tests/conftest.py forces
-the CPU platform); compiled-mode parity on real TPU is checked in bench
-tooling.
+The Pallas loop-vote kernel that used to live in ops/loop_vote.py was
+deleted in round 3: the batched XLA ``backend.loop.score_pairs`` scores
+64 map-pairs in 0.10 ms on a v5e (1.6 us/pair) and loop scoring is a
+negligible share of backend time, so a fused multi-pair Mosaic kernel had
+no production value.  These tests keep the scoring semantics pinned.
 """
 
 import numpy as np
 import jax.numpy as jnp
 
 from liwslam.backend import loop as loop_mod
-from liwslam.ops import loop_vote
 
 
 def _mk_feature(n, seed, P=16):
@@ -20,37 +21,26 @@ def _mk_feature(n, seed, P=16):
     )
 
 
-def test_loop_vote_kernel_matches_reference():
-    kw = dict(
-        a_res=0.05,
-        n_angle_bins=int(2 * np.pi / 0.05) + 2,
-        min_match_threshold=3,
-    )
+KW = dict(
+    a_res=0.05,
+    n_angle_bins=int(2 * np.pi / 0.05) + 2,
+    min_match_threshold=3,
+)
+
+
+def test_self_match_scores_highest():
     probes = jnp.arange(5, dtype=jnp.int32)
     m1 = _mk_feature(12, 1)
-    for other_seed in (1, 7):  # self-match and non-match
-        m2 = _mk_feature(12, other_seed)
-        c_ref, b_ref = loop_mod.score_pairs(m1, m2, probes, **kw)
-        c_pl, b_pl = loop_vote.score_pairs_pallas(
-            m1, m2, probes, interpret=True, **kw
-        )
-        assert (np.asarray(c_ref) == np.asarray(c_pl)).all()
-        # the winning bin may differ only where several bins tie on votes;
-        # with these constellations the scored pairs are tie-free
-        agree = (np.asarray(b_ref) == np.asarray(b_pl)) | (np.asarray(c_ref) == 0)
-        assert agree.all()
+    c_self, _ = loop_mod.score_pairs(m1, _mk_feature(12, 1), probes, **KW)
+    c_other, _ = loop_mod.score_pairs(m1, _mk_feature(12, 7), probes, **KW)
+    assert int(np.asarray(c_self).max()) > int(np.asarray(c_other).max())
+    # a perfect self-match recovers (almost) every corner
+    assert int(np.asarray(c_self).max()) >= 10
 
 
-def test_loop_vote_kernel_handles_partial_validity():
-    kw = dict(
-        a_res=0.05,
-        n_angle_bins=int(2 * np.pi / 0.05) + 2,
-        min_match_threshold=3,
-    )
+def test_invalid_probe_scores_nothing():
     m1 = _mk_feature(9, 3)  # 9 valid of capacity 16
     m2 = _mk_feature(5, 3)
     probes = jnp.asarray([0, 8, 12], jnp.int32)  # includes an invalid probe
-    c_ref, b_ref = loop_mod.score_pairs(m1, m2, probes, **kw)
-    c_pl, b_pl = loop_vote.score_pairs_pallas(m1, m2, probes, interpret=True, **kw)
-    assert (np.asarray(c_ref) == np.asarray(c_pl)).all()
-    assert (np.asarray(c_ref[2]) == 0).all()  # invalid probe scores nothing
+    c, b = loop_mod.score_pairs(m1, m2, probes, **KW)
+    assert (np.asarray(c[2]) == 0).all()

@@ -190,3 +190,24 @@ def test_kernel_solve_no_prior():
     )
     np.testing.assert_allclose(np.asarray(x_k), x_ref, atol=5e-4)
     assert abs(float(c_k) - c_ref) < 0.02 * max(c_ref, 1.0)
+
+
+def test_early_exit_identical_to_fixed_trip():
+    """The while_loop early exit applies the same updates as the fori
+    form (the body freezes all state once done), so results must agree
+    to fp-reassociation noise — the two loop forms compile with
+    different fusion, so bitwise equality is not guaranteed."""
+    st, d, x0, free = tracking_problem()
+    outs = {}
+    for ee in (False, True):
+        outs[ee] = track_solve.lm_solve_track(
+            x0, free, d, CONSTS, max_iters=8, interpret=True, early_exit=ee
+        )
+    x_f, c_f, dH_f, dg_f = outs[False]
+    x_w, c_w, dH_w, dg_w = outs[True]
+    np.testing.assert_allclose(np.asarray(x_w), np.asarray(x_f), atol=1e-4)
+    assert abs(float(c_w) - float(c_f)) <= 1e-3 * max(float(c_f), 1.0)
+    scale = max(np.abs(np.asarray(dH_f)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(dH_w) / scale, np.asarray(dH_f) / scale, atol=1e-4
+    )

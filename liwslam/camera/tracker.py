@@ -52,22 +52,32 @@ def shi_tomasi_response(img, window=2):
 
 
 def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None,
-                    budget=None):
-    """Top-n corner selection with minimum mutual distance and distance to
-    existing tracks (camera_manager.cpp:93-113).  Greedy over the top-K
-    responses, fixed shapes.
+                    budget=None, cell_px=None):
+    """Corner selection with minimum mutual distance and distance to
+    existing tracks (camera_manager.cpp:93-113).
+
+    TPU-native redesign (round 3): DENSE cell-grid non-max suppression
+    instead of the reference's greedy strongest-first walk — the greedy
+    form needed a ~224-step sequential lax.scan (~3 ms/frame on TPU).
+    The image is tiled into cells of ``cell_px`` (>= min_dis); a cell's
+    best response survives only if it beats every pixel of the 3x3 cell
+    neighborhood, which guarantees any two survivors are > cell_px
+    apart.  Survivors are ranked by response and the top ``budget``
+    taken.  Deviation from the reference: selection is near-maximal NMS
+    rather than greedy strongest-first — same min-distance guarantee,
+    slightly different picks on crowded scenes.
 
     ``n_max`` is the static slot capacity; ``budget`` (optional, traced)
-    caps how many are actually taken this call — the reference replenishes
-    only up to ``max_feature_num - n_tracked`` new corners per frame."""
+    caps how many are actually taken this call.  ``cell_px`` must be a
+    static int when ``min_dis`` is traced (production passes it from
+    CamStaticCfg)."""
+    import numpy as np
+
     H, W = img.shape
+    if cell_px is None:
+        cell_px = max(1, int(np.ceil(float(min_dis))))
+    cs = int(cell_px)
     resp = shi_tomasi_response(img)
-    K = 4 * n_max + 32
-    flat = resp.reshape(-1)
-    top_v, top_i = jax.lax.top_k(flat, K)
-    ys = (top_i // W).astype(jnp.float32)
-    xs = (top_i % W).astype(jnp.float32)
-    cand = jnp.stack([xs, ys], -1)
 
     if existing_xy is None:
         existing_xy = jnp.zeros((0, 2), img.dtype)
@@ -79,24 +89,57 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None,
     # in intensity) so 8-bit and [0,1]-normalized images behave alike
     resp_gate = 1e-4 * jnp.maximum(jnp.max(img), 1.0) ** 2
 
-    def body(carry, i):
-        chosen, n = carry
-        c = cand[i]
-        d_new = jnp.linalg.norm(chosen[:, :2] - c[None], axis=-1)
-        ok_new = jnp.all(jnp.where(chosen[:, 2] > 0, d_new >= min_dis, True))
-        d_old = jnp.linalg.norm(existing_xy - c[None], axis=-1)
-        ok_old = jnp.all(jnp.where(existing_valid, d_old >= min_dis, True))
-        take = ok_new & ok_old & (n < n_max) & (n < budget) & (top_v[i] > resp_gate)
-        chosen = jnp.where(
-            take,
-            chosen.at[n].set(jnp.asarray([c[0], c[1], 1.0], img.dtype)),
-            chosen,
-        )
-        return (chosen, n + take.astype(jnp.int32)), None
+    Hc = -(-H // cs)
+    Wc = -(-W // cs)
+    big_neg = jnp.asarray(-3.4e38, resp.dtype)
+    rp = jnp.full((Hc * cs, Wc * cs), big_neg, resp.dtype)
+    rp = rp.at[:H, :W].set(resp)
+    cells = rp.reshape(Hc, cs, Wc, cs)
+    cell_max = jnp.max(cells, axis=(1, 3))  # (Hc,Wc)
+    # per-cell argmax pixel (row-major within the cell)
+    flat = cells.transpose(0, 2, 1, 3).reshape(Hc, Wc, cs * cs)
+    amax = jnp.argmax(flat, axis=-1)
+    wy = (amax // cs).astype(jnp.float32)
+    wx = (amax % cs).astype(jnp.float32)
+    cy = jnp.arange(Hc, dtype=jnp.float32)[:, None] * cs + wy
+    cx = jnp.arange(Wc, dtype=jnp.float32)[None, :] * cs + wx
+    # 3x3 cell-neighborhood max (pad with -inf)
+    nb = jnp.pad(cell_max, 1, constant_values=big_neg)
+    neigh = jnp.max(
+        jnp.stack(
+            [
+                nb[1 + dy : 1 + dy + Hc, 1 + dx : 1 + dx + Wc]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if not (dy == 0 and dx == 0)
+            ]
+        ),
+        axis=0,
+    )
+    is_winner = (cell_max > neigh) & (cell_max > resp_gate)
 
-    chosen0 = jnp.zeros((n_max, 3), img.dtype)
-    (chosen, n), _ = jax.lax.scan(body, (chosen0, jnp.asarray(0, jnp.int32)), jnp.arange(K))
-    return chosen[:, :2], chosen[:, 2] > 0
+    # distance to existing tracks (dense (Hc*Wc, T) matrix)
+    cands = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1)  # (C,2)
+    score = jnp.where(is_winner.reshape(-1), cell_max.reshape(-1), big_neg)
+    if existing_xy.shape[0]:
+        dd = jnp.linalg.norm(
+            cands[:, None, :] - existing_xy[None, :, :], axis=-1
+        )
+        far = jnp.all(jnp.where(existing_valid[None, :], dd >= min_dis, True), axis=1)
+        score = jnp.where(far, score, big_neg)
+
+    k = min(n_max, score.shape[0])
+    top_v, top_i = jax.lax.top_k(score, k)
+    ok = (top_v > big_neg * 0.5) & (
+        jnp.arange(k) < jnp.minimum(budget, jnp.asarray(n_max, jnp.int32))
+    )
+    out_xy = jnp.where(ok[:, None], cands[top_i], 0.0)
+    if k < n_max:
+        out_xy = jnp.concatenate(
+            [out_xy, jnp.zeros((n_max - k, 2), img.dtype)]
+        )
+        ok = jnp.concatenate([ok, jnp.zeros(n_max - k, bool)])
+    return out_xy, ok
 
 
 def _bilinear(img, xy):
@@ -120,11 +163,52 @@ def _bilinear(img, xy):
     )
 
 
+def _axis_weights(c, r, n):
+    """(T, 2r+1, n) separable bilinear row/col selection weights for
+    sampling positions c_t + [-r..r] along an axis of length n.
+
+    Built from dense iota comparisons — NO gathers: the TPU lowers
+    per-pixel gathers to serialized scalar loads, which made the original
+    patch extraction ~19 ms/frame; as weights these become two MXU
+    matmuls per patch set (measured round 3)."""
+    c0 = jnp.floor(c)
+    f = (c - c0)[:, None, None]  # (T,1,1)
+    grid = c0[:, None] + jnp.arange(-r, r + 1, dtype=c.dtype)[None, :]  # (T,P)
+    ax = jnp.arange(n, dtype=c.dtype)[None, None, :]  # (1,1,n)
+    lo = (ax == grid[:, :, None]).astype(c.dtype)
+    hi = (ax == grid[:, :, None] + 1.0).astype(c.dtype)
+    return lo * (1.0 - f) + hi * f
+
+
+def sample_patches(img, xy, r):
+    """Bilinear (2r+1)x(2r+1) patches of ``img`` around centers ``xy``
+    (T,2), returned flattened (T,(2r+1)^2) in the same order as the
+    meshgrid offsets used by lk_track.  Out-of-bounds taps read 0 (the
+    in-bounds verification gate in lk_track masks those tracks anyway).
+
+    patch_t = Wy_t @ img @ Wx_t^T with separable one-hot interpolation
+    weights — pure dense einsums on the MXU instead of per-pixel
+    gathers."""
+    H, W = img.shape
+    Wy = _axis_weights(xy[:, 1], r, H)  # (T,P,H)
+    Wx = _axis_weights(xy[:, 0], r, W)  # (T,P,W)
+    rows = jnp.einsum("tph,hw->tpw", Wy, img)  # (T,P,W)
+    patches = jnp.einsum("tpw,tqw->tpq", rows, Wx)  # (T,Py,Px)
+    T = xy.shape[0]
+    P = 2 * r + 1
+    # meshgrid(indexing="xy") offsets enumerate x fastest: (dy, dx) -> dx
+    # fastest = patches[t, dy, dx] flattened row-major matches
+    return patches.reshape(T, P * P)
+
+
 def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3,
              max_err=0.1):
     """Pyramidal Lucas-Kanade: track pts (N,2) from img0 to img1.
 
-    Returns (new_pts (N,2), ok (N,)).  Fixed shapes, vmapped over tracks.
+    Returns (new_pts (N,2), ok (N,)).  Fixed shapes; ALL tracks advance
+    together through each Newton step, with patch extraction as batched
+    separable einsums (sample_patches) — the per-pixel-gather form cost
+    ~19 ms/frame on TPU, this one ~0.5 ms (round 3).
 
     ``max_err`` is the mean-absolute-residual acceptance gate expressed as a
     fraction of the image's dynamic range (estimated as max(1, max(img0)) so
@@ -135,58 +219,58 @@ def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3,
         pyr0.append(0.25 * (pyr0[-1][::2, ::2] + pyr0[-1][1::2, ::2] + pyr0[-1][::2, 1::2] + pyr0[-1][1::2, 1::2]))
         pyr1.append(0.25 * (pyr1[-1][::2, ::2] + pyr1[-1][1::2, ::2] + pyr1[-1][::2, 1::2] + pyr1[-1][1::2, 1::2]))
 
-    offs = jnp.stack(
-        jnp.meshgrid(
-            jnp.arange(-radius, radius + 1, dtype=jnp.float32),
-            jnp.arange(-radius, radius + 1, dtype=jnp.float32),
-            indexing="xy",
-        ),
-        -1,
-    ).reshape(-1, 2)
-
     # intensity scale so the verification gate is invariant to 8-bit vs
     # [0,1]-normalized input (a raw 0.1 absolute threshold silently killed
     # every track on 8-bit images)
     err_gate = max_err * jnp.maximum(jnp.max(img0), 1.0)
 
-    def track_one(p0):
-        d = jnp.zeros(2, img0.dtype)
-        for lvl in range(levels - 1, -1, -1):
-            i0 = pyr0[lvl]
-            i1 = pyr1[lvl]
-            scale = 2.0**lvl
-            base = p0 / scale
-            patch0 = _bilinear(i0, base[None] + offs)
-            gx = _bilinear(i0, base[None] + offs + jnp.asarray([1.0, 0.0])) - _bilinear(
-                i0, base[None] + offs - jnp.asarray([1.0, 0.0])
-            )
-            gy = _bilinear(i0, base[None] + offs + jnp.asarray([0.0, 1.0])) - _bilinear(
-                i0, base[None] + offs - jnp.asarray([0.0, 1.0])
-            )
-            gx = gx * 0.5
-            gy = gy * 0.5
-            G = jnp.asarray(
-                [[jnp.sum(gx * gx), jnp.sum(gx * gy)], [jnp.sum(gx * gy), jnp.sum(gy * gy)]]
-            )
-            Ginv = jnp.linalg.inv(G + 1e-4 * jnp.eye(2, dtype=img0.dtype))
-            dl = d / scale
+    ex = jnp.asarray([1.0, 0.0], img0.dtype)
+    ey = jnp.asarray([0.0, 1.0], img0.dtype)
 
-            def it(dl, _):
-                patch1 = _bilinear(i1, base[None] + dl[None] + offs)
-                e = patch0 - patch1
-                b = jnp.asarray([jnp.sum(e * gx), jnp.sum(e * gy)])
-                return dl + Ginv @ b, None
+    d = jnp.zeros_like(pts)
+    for lvl in range(levels - 1, -1, -1):
+        i0 = pyr0[lvl]
+        i1 = pyr1[lvl]
+        scale = 2.0**lvl
+        base = pts / scale  # (T,2)
+        patch0 = sample_patches(i0, base, radius)  # (T,PP)
+        gx = 0.5 * (
+            sample_patches(i0, base + ex, radius)
+            - sample_patches(i0, base - ex, radius)
+        )
+        gy = 0.5 * (
+            sample_patches(i0, base + ey, radius)
+            - sample_patches(i0, base - ey, radius)
+        )
+        gxx = jnp.sum(gx * gx, -1) + 1e-4
+        gxy = jnp.sum(gx * gy, -1)
+        gyy = jnp.sum(gy * gy, -1) + 1e-4
+        det = jnp.maximum(gxx * gyy - gxy * gxy, 1e-12)
+        dl = d / scale
 
-            dl, _ = jax.lax.scan(it, dl, None, length=iters)
-            d = dl * scale
-        p1 = p0 + d
-        # verify: residual small and in-bounds
-        patch1 = _bilinear(pyr1[0], p1[None] + offs)
-        patch0 = _bilinear(pyr0[0], p0[None] + offs)
-        err = jnp.mean(jnp.abs(patch0 - patch1))
-        H, W = img0.shape
-        inb = (p1[0] >= radius) & (p1[0] < W - radius) & (p1[1] >= radius) & (p1[1] < H - radius)
-        return p1, inb & (err < err_gate)
+        def it(dl, _):
+            patch1 = sample_patches(i1, base + dl, radius)
+            e = patch0 - patch1
+            bx = jnp.sum(e * gx, -1)
+            by = jnp.sum(e * gy, -1)
+            # closed-form 2x2 solve (no batched linalg.inv)
+            ux = (gyy * bx - gxy * by) / det
+            uy = (gxx * by - gxy * bx) / det
+            return dl + jnp.stack([ux, uy], -1), None
 
-    new_pts, ok = jax.vmap(track_one)(pts)
-    return new_pts, ok & valid
+        dl, _ = jax.lax.scan(it, dl, None, length=iters)
+        d = dl * scale
+
+    p1 = pts + d
+    # verify: residual small and in-bounds
+    patch1 = sample_patches(pyr1[0], p1, radius)
+    patch0 = sample_patches(pyr0[0], pts, radius)
+    err = jnp.mean(jnp.abs(patch0 - patch1), -1)
+    H, W = img0.shape
+    inb = (
+        (p1[:, 0] >= radius)
+        & (p1[:, 0] < W - radius)
+        & (p1[:, 1] >= radius)
+        & (p1[:, 1] < H - radius)
+    )
+    return p1, inb & (err < err_gate) & valid

@@ -80,6 +80,9 @@ class CamStaticCfg(NamedTuple):
     lk_iters: int
     solver_max_iterations: int
     fast_mode: bool
+    # static NMS cell size (>= feature_min_dis) for select_features'
+    # dense cell-grid suppression (reshape needs a static tile)
+    cell_px: int = 10
 
 
 class CamDynCfg(NamedTuple):
@@ -108,6 +111,7 @@ def make_cam_static_cfg(params) -> CamStaticCfg:
         lk_iters=params.cam_lk_iters,
         solver_max_iterations=params.solver_max_iterations,
         fast_mode=params.fast_mode,
+        cell_px=max(1, int(-(-float(params.feature_min_dis) // 1))),
     )
 
 
@@ -211,6 +215,7 @@ def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg):
         existing_xy=px,
         existing_valid=live,
         budget=budget,
+        cell_px=ccfg.cell_px,
     )
     # place fresh tracks into dead slots (slot-aligned with fw): a reused
     # slot starts a NEW landmark -> clear its observation history

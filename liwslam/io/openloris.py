@@ -243,6 +243,27 @@ def load_bag(
             f"odom={len(odom_t)}) — check topic names"
         )
 
+    # real bags store messages in chunk order, which may be out of stamp
+    # order across chunks (rosbag play re-orders via the index; our
+    # reader streams file order).  Sort each stream by stamp so the
+    # dispatcher's monotonicity filter doesn't silently drop data.
+    def _argsorted(ts):
+        return np.argsort(np.asarray(ts), kind="stable")
+
+    o = _argsorted(imu_t)
+    imu_t = [imu_t[i] for i in o]
+    acc = [acc[i] for i in o]
+    gyro = [gyro[i] for i in o]
+    o = _argsorted(odom_t)
+    odom_t = [odom_t[i] for i in o]
+    odom_p = [odom_p[i] for i in o]
+    odom_q = [odom_q[i] for i in o]
+    laser = [laser[i] for i in _argsorted([m["stamp"] for m in laser])]
+    if cam_t:
+        o = _argsorted(cam_t)
+        cam_t = [cam_t[i] for i in o]
+        cam_imgs = [cam_imgs[i] for i in o]
+
     wheel_pose = np.tile(np.eye(4), (len(odom_t), 1, 1))
     q_xyzw = np.stack(odom_q)
     q_wxyz = np.concatenate([q_xyzw[:, 3:4], q_xyzw[:, 0:3]], axis=1)
@@ -310,14 +331,17 @@ def load_bag(
 
 def save_bag(path, streams: SimStreams, *, t0_s=1560000000.0,
              laser_topic="/scan", wheel_odom_topic="/odom",
-             imu_topic="/d400/imu0", camera_topic="/d400/color/image_raw"):
+             imu_topic="/d400/imu0", camera_topic="/d400/color/image_raw",
+             **writer_kw):
     """Write ``streams`` as a ROS1 bag (inverse of ``load_bag``; lets the
-    simulator emit real .bag fixtures for the converter round-trip)."""
+    simulator emit real .bag fixtures for the converter round-trip).
+    Extra kwargs go to :class:`rosbag.BagWriter` (e.g. compression="lz4",
+    indexed=True for rosbag-C++-shaped fixtures)."""
     from liwslam.core import geometry as geo
     from liwslam.io import rosbag
     import jax.numpy as jnp
 
-    with rosbag.BagWriter(path) as w:
+    with rosbag.BagWriter(path, **writer_kw) as w:
         for k in range(len(streams.imu_t_us)):
             t = streams.imu_t_us[k] * 1e-6 + t0_s
             w.write(

@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument(
         "--gt", default=None, help="TUM ground-truth file (for .bag input)"
     )
+    ap.add_argument(
+        "--camera-topic",
+        default=None,
+        help="bag camera topic (e.g. /d400/color/image_raw); loaded into "
+        "the streams — solved when enable_camera is set",
+    )
     ap.add_argument("--out", default="/tmp/liwslam_out")
     ap.add_argument("--no-backend", action="store_true")
     ap.add_argument("--chunk", type=int, default=32)
@@ -102,6 +108,7 @@ def main(argv=None):
                 args.sequence,
                 T_imu_to_wheel=prm.mat_T_imu_to_wheel(),
                 gt_path=args.gt,
+                camera_topic=args.camera_topic,
             )
         else:
             streams = openloris.load_sequence(

@@ -28,12 +28,15 @@ with free landmarks (imu+wheel+ground+prior+camera rows), filter outliers,
 marginalize the previous frame into the prior, then hand the state to the
 unchanged laser tracking step for the remainder of the interval.
 
+LK runs at FULL camera rate, like the reference's add_frame-on-every-
+message behavior (trajectory.cpp:279-310): the interval's later camera
+messages are packed as ``cam_extra_imgs`` and tracked (no observation
+recording), keeping LK baselines at one camera period (round-3 fix of a
+round-2 deviation; see tests/test_camera_rate.py for the fast-rotation
+track-survival gate).
+
 Documented deviations from the reference (all capability-preserving):
 
-- The reference LK-tracks at full camera rate but RECORDS observations at
-  the same one-accepted-frame-per-laser-frame rate; we track between
-  accepted frames only (LK baseline <= one laser period instead of one
-  camera period).
 - The reference's laser-frame solve also carries camera rows, but with all
   camera-frame poses frozen those rows touch only landmark variables and
   are exactly separable from the pose problem — we fold that landmark
@@ -42,7 +45,11 @@ Documented deviations from the reference (all capability-preserving):
   observation history is carried by the live observation window rather
   than by linearized landmark blocks (the reference stores 3k landmark
   columns in the prior, marginalization_factor.h; carrying both the live
-  window obs AND a landmark prior would double-count them).
+  window obs AND a landmark prior would double-count them).  MEASURED
+  (round 3, tests/test_camera_e2e.py::test_prior_history_length_within
+  _noise): halving the carried history (Wc 8 -> 4, which discards more
+  than the landmark-column deviation does) left ATE within noise —
+  the carried-history tail is not load-bearing on this workload.
 
 The landmark table reuses :class:`liwslam.camera.features.FeatureWindow`
 slot-aligned with the tracker: slot f of the LK track table IS landmark
@@ -517,12 +524,22 @@ def camera_sub_step(
 
 
 class FrameInputCam(NamedTuple):
-    """FrameInput plus the interval's accepted camera frame (if any)."""
+    """FrameInput plus the interval's camera messages.
+
+    ``cam_img`` is the ACCEPTED frame (first message after the previous
+    laser frame — it becomes a window frame, trajectory.cpp:301);
+    ``cam_extra_imgs`` are the interval's later messages, which the
+    reference still LK-tracks through ``camera_manger_.add_frame``
+    (trajectory.cpp:279-310) without recording observations — keeping LK
+    baselines at one camera period.  NE is sized per stream by the
+    packer (0 when the camera rate matches the laser rate)."""
 
     base: pl.FrameInput
     cam_img: jnp.ndarray  # (H,W) f32
     cam_t_us: jnp.ndarray  # () int32 relative to previous frame stamp
     cam_valid: jnp.ndarray  # () bool
+    cam_extra_imgs: jnp.ndarray  # (NE,H,W) f32 (NE may be 0)
+    cam_extra_mask: jnp.ndarray  # (NE,) bool
 
 
 class CamFrameOutput(NamedTuple):
@@ -569,6 +586,25 @@ def tracking_step_cam(
     state2, cam2, inp_rest, cam_out = jax.lax.cond(
         inp.cam_valid, with_cam, without_cam, (state, cam)
     )
+
+    # full-camera-rate LK: the interval's LATER camera messages keep the
+    # track chain advancing at one-camera-period baselines (the
+    # reference runs add_frame on every message before any accept gate,
+    # trajectory.cpp:279-310); observations are NOT recorded for them.
+    if inp.cam_extra_imgs.shape[0] > 0:
+
+        def obs_extra(cm, im):
+            img, m = im
+            cm2 = observe(cm, img, ccfg, cdyn)
+            cm2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(m, a, b), cm2, cm
+            )
+            return cm2, None
+
+        cam2, _ = jax.lax.scan(
+            obs_extra, cam2, (inp.cam_extra_imgs, inp.cam_extra_mask)
+        )
+
     new_state, out = pl.tracking_step(state2, inp_rest, consts, dcfg, scfg)
     return (new_state, cam2), (out, cam_out)
 

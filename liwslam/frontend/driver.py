@@ -301,6 +301,16 @@ class Frontend:
         imu_acc_f = np.asarray(streams.imu_acc)[imu_keep]
         imu_gyro_f = np.asarray(streams.imu_gyro)[imu_keep]
         wheel_pose_f = np.asarray(streams.wheel_pose)[wheel_keep]
+        # static per-stream capacity for the interval's EXTRA camera
+        # messages (beyond the accepted first): 0 when camera rate <=
+        # laser rate, (rate ratio - 1) otherwise
+        cam_extra_cap = 0
+        if use_cam:
+            ct_all = cam_ts_all[cam_keep]
+            for k in range(F):
+                ta = lt[k - 1] if k > 0 else 0
+                n_in = int(np.count_nonzero((ct_all > ta) & (ct_all <= lt[k])))
+                cam_extra_cap = max(cam_extra_cap, n_in - 1)
         frames = []
         for k in range(F):
             t0 = lt[k - 1] if k > 0 else 0
@@ -337,10 +347,20 @@ class Frontend:
                 # the FIRST camera message after the previous laser frame
                 # becomes the interval's camera frame (trajectory.cpp:301
                 # rejects a camera frame when the window's newest frame is
-                # already a camera frame, so later messages are dropped)
+                # already a camera frame); LATER messages are still packed
+                # and LK-tracked at full camera rate (add_frame runs on
+                # every message, trajectory.cpp:279-310)
                 ct = cam_ts_all[cam_keep]
                 sel = np.flatnonzero((ct > t0) & (ct <= t1))
                 h_px, w_px = streams.cam_images.shape[1:3]
+                NE = cam_extra_cap
+                extra = np.zeros((NE, h_px, w_px), np.float32)
+                emask = np.zeros(NE, bool)
+                for j, s in enumerate(sel[1 : NE + 1]):
+                    extra[j] = np.asarray(
+                        streams.cam_images[cam_keep[s]], np.float32
+                    )
+                    emask[j] = True
                 if len(sel):
                     ci = cam_keep[sel[0]]
                     base = cpl.FrameInputCam(
@@ -348,6 +368,8 @@ class Frontend:
                         cam_img=np.asarray(streams.cam_images[ci], np.float32),
                         cam_t_us=np.int32(int(cam_ts_all[ci]) - t0),
                         cam_valid=np.bool_(True),
+                        cam_extra_imgs=extra,
+                        cam_extra_mask=emask,
                     )
                 else:
                     base = cpl.FrameInputCam(
@@ -355,6 +377,8 @@ class Frontend:
                         cam_img=np.zeros((h_px, w_px), np.float32),
                         cam_t_us=np.int32(0),
                         cam_valid=np.bool_(False),
+                        cam_extra_imgs=extra,
+                        cam_extra_mask=emask,
                     )
             frames.append(base)
         return frames, lt
@@ -404,6 +428,17 @@ class Frontend:
             rec_fn = self._cam_record_fn()
             h_px, w_px = frames[0].cam_img.shape
             cam_state = cpl.init_cam_state(h_px, w_px, self.ccfg, dtype)
+
+            def obs_extras(cs, fk):
+                # the interval's later camera messages: LK-track only
+                # (full camera rate, trajectory.cpp:279-310)
+                if fk.cam_extra_imgs.shape[0] == 0:
+                    return cs
+                mask = np.asarray(fk.cam_extra_mask)
+                for j in range(fk.cam_extra_imgs.shape[0]):
+                    if mask[j]:
+                        cs = observe(cs, jnp.asarray(fk.cam_extra_imgs[j]))
+                return cs
             cam_state = jax.tree_util.tree_map(jnp.asarray, cam_state)
         else:
             cam_state = None
@@ -474,6 +509,7 @@ class Frontend:
                     imu_c, wheel_c = keep
                     if has_cam:  # LK chain runs before any accept gate
                         cam_state = observe(cam_state, jnp.asarray(fk.cam_img))
+                        cam_state = obs_extras(cam_state, fk)
                     k += 1
                     continue
                 if has_cam and window:
@@ -502,6 +538,7 @@ class Frontend:
                         )
                     )
                     cam_entries.append(len(window) - 1)
+                    cam_state = obs_extras(cam_state, fk)
                     cur_p, cur_q = cam_p, cam_q
                     _, nxt_b, imu_res, wheel_res = preint(
                         imu_c, wheel_c,
@@ -512,6 +549,7 @@ class Frontend:
                 else:
                     if has_cam:  # first frame must be laser (trajectory.cpp:303)
                         cam_state = observe(cam_state, jnp.asarray(fk.cam_img))
+                        cam_state = obs_extras(cam_state, fk)
                     imu_c, wheel_c = nxt
                 cur_p, cur_q = dead_reckon(cur_p, cur_q, wheel_res)
                 feats = extract(inp.points, inp.point_valid)

@@ -75,15 +75,27 @@ def submap_from_scan(scan: ScanFeatures, pose_p, pose_q, capacity: int) -> RefSu
 
 
 def append_lines(sub: RefSubmap, p1, p2, valid) -> RefSubmap:
-    """Append lines (already in the submap's laser frame); overflow drops."""
-    L = p1.shape[0]
+    """Append lines (already in the submap's laser frame); overflow drops.
+
+    The row writes go through ONE one-hot matmul instead of three
+    scatters (TPU scatters serialize; round-3 gather/scatter sweep)."""
+    cap = sub.p1.shape[0]
+    dtype = sub.p1.dtype
     offsets = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    idx = jnp.where(valid, sub.n + offsets, sub.p1.shape[0] + 1)  # OOB -> drop
-    new_p1 = sub.p1.at[idx].set(p1, mode="drop")
-    new_p2 = sub.p2.at[idx].set(p2, mode="drop")
-    new_valid = sub.valid.at[idx].set(valid, mode="drop")
+    idx = jnp.where(valid, sub.n + offsets, cap + 1)  # OOB -> drop
+    oh = (idx[:, None] == jnp.arange(cap, dtype=jnp.int32)[None, :]).astype(
+        dtype
+    )  # (L,cap): at most one 1 per row, distinct columns
+    payload = jnp.concatenate(
+        [p1, p2, valid.astype(dtype)[:, None]], 1
+    )  # (L,7)
+    placed = oh.T @ payload  # (cap,7)
+    touched = placed[:, 6] > 0.5
+    new_p1 = jnp.where(touched[:, None], placed[:, :3], sub.p1)
+    new_p2 = jnp.where(touched[:, None], placed[:, 3:6], sub.p2)
+    new_valid = sub.valid | touched
     n_new = jnp.minimum(
-        sub.n + jnp.sum(valid.astype(jnp.int32)), sub.p1.shape[0]
+        sub.n + jnp.sum(valid.astype(jnp.int32)), cap
     ).astype(jnp.int32)
     return sub._replace(p1=new_p1, p2=new_p2, valid=new_valid, n=n_new)
 
@@ -129,12 +141,21 @@ def match_lines(
     q2 = geo.tf_apply(T_1_2, scan.p2)
     mid = 0.5 * (q1 + q2)
 
-    # candidate gate: midpoint near the reference segment (3x3(+kk) cells)
+    # candidate gate: midpoint near the reference segment (3x3(+kk) cells).
+    # Componentwise squared-distance form: (L,R) planes only, no (L,R,2)
+    # temporaries, no sqrt (compare d^2 to gate^2) — measured kernel-count
+    # cut round 3
     gate = (1.0 + kk + 0.5) * resolution * jnp.sqrt(2.0)
-    d_mid = _point_segment_dist(
-        mid[:, None, :2], ref.p1[None, :, :2], ref.p2[None, :, :2]
-    )  # (L,R)
-    cand = (d_mid <= gate) & ref.valid[None, :] & scan.line_valid[:, None]
+    ax, ay = ref.p1[:, 0][None, :], ref.p1[:, 1][None, :]  # (1,R)
+    abx = (ref.p2[:, 0] - ref.p1[:, 0])[None, :]
+    aby = (ref.p2[:, 1] - ref.p1[:, 1])[None, :]
+    ab2 = jnp.maximum(abx * abx + aby * aby, _EPS)
+    mx, my = mid[:, 0][:, None], mid[:, 1][:, None]  # (L,1)
+    t = jnp.clip(((mx - ax) * abx + (my - ay) * aby) / ab2, 0.0, 1.0)
+    dx = mx - ax - t * abx
+    dy = my - ay - t * aby
+    d2_mid = dx * dx + dy * dy  # (L,R)
+    cand = (d2_mid <= gate * gate) & ref.valid[None, :] & scan.line_valid[:, None]
 
     # direction angle (argmin over candidates)
     v2 = q2 - q1
@@ -145,11 +166,16 @@ def match_lines(
     ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
     ang = jnp.where(cand, ang, jnp.pi)
     best = jnp.argmin(ang, axis=1)  # (L,)
-    best_ang = jnp.take_along_axis(ang, best[:, None], 1)[:, 0]
+    best_ang = jnp.min(ang, axis=1)
     matched = best_ang < jnp.deg2rad(max_angle_deg)
 
-    bp1 = ref.p1[best]
-    bp2 = ref.p2[best]
+    # winner rows via one-hot matmul, not row gathers
+    sel = (
+        best[:, None] == jnp.arange(ang.shape[1], dtype=jnp.int32)[None, :]
+    ).astype(dtype)
+    bp12 = sel @ jnp.concatenate([ref.p1, ref.p2], 1)  # (L,6)
+    bp1 = bp12[:, :3]
+    bp2 = bp12[:, 3:]
 
     # mean point-to-line distance filter (laser_manager.cpp:315-345)
     d1 = geo.dis_from_line(q1, bp1, bp2)

@@ -402,13 +402,21 @@ def tracking_step(
     is_kf = moved | (n_match < (n_lines - n_match))
 
     # corner accumulation in the world laser frame (trajectory.cpp:239-243)
+    # — one-hot matmul append, no scatter (round-3 gather/scatter sweep)
     cw = geo.tf_apply(cur_laser_T, feats.corners)
     K = state.acc_corners.shape[0]
     off = jnp.cumsum(feats.corner_valid.astype(jnp.int32)) - 1
     base = jnp.sum(state.acc_valid.astype(jnp.int32))
     widx = jnp.where(feats.corner_valid, base + off, K + 1)
-    acc_c = state.acc_corners.at[widx].set(cw, mode="drop")
-    acc_v = state.acc_valid.at[widx].set(feats.corner_valid, mode="drop")
+    ohc = (
+        widx[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # (C,K), distinct columns
+    placed = ohc.T @ jnp.concatenate(
+        [cw, feats.corner_valid.astype(dtype)[:, None]], 1
+    )  # (K,4)
+    touched = placed[:, 3] > 0.5
+    acc_c = jnp.where(touched[:, None], placed[:, :3], state.acc_corners)
+    acc_v = state.acc_valid | touched
 
     out = FrameOutput(
         p=new_p,

@@ -122,20 +122,23 @@ def _compact(valid, cap, *arrays):
             [out_valid, jnp.zeros(cap - cap_eff, bool)]
         )
         pos = jnp.concatenate([pos, jnp.zeros(cap - cap_eff, pos.dtype)])
-    outs = tuple(
-        jnp.where(
-            out_valid.reshape((cap,) + (1,) * (a.ndim - 1)),
-            a[pos],
-            jnp.zeros((), a.dtype),
-        )
-        for a in arrays
-    )
-    return (out_valid,) + outs
-
-
-def _range_sum(cumsum, i1, i2):
-    """Inclusive range sum over a prefix-sum array with leading zero row."""
-    return cumsum[i2 + 1] - cumsum[i1]
+    if not arrays:
+        return (out_valid,)
+    # winner rows via ONE one-hot matmul over the concatenated payload
+    # (row gathers with data-dependent indices serialize on TPU)
+    cols = [a.reshape(N, -1) for a in arrays]
+    tbl = jnp.concatenate(cols, 1).astype(jnp.float32)  # (N, sum widths)
+    oh = (pos[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]).astype(
+        jnp.float32
+    )  # (cap, N)
+    g = jnp.where(out_valid[:, None], oh @ tbl, 0.0)
+    outs = []
+    o = 0
+    for a, c in zip(arrays, cols):
+        w = c.shape[1]
+        outs.append(g[:, o : o + w].astype(a.dtype).reshape((cap,) + a.shape[1:]))
+        o += w
+    return (out_valid,) + tuple(outs)
 
 
 def extract_features(
@@ -200,10 +203,23 @@ def extract_features(
     seg_end = jnp.minimum(next_start - 1, N - 1)
 
     # --- 2. corner response (clac_cos over a clamped ±step window) -------
+    # windowed SELECT over static shifts instead of xy[j_idx] gathers:
+    # the clamped window offset is in [0, step], so each neighbor point
+    # is one of step+1 statically shifted arrays (TPU row gathers with
+    # data-dependent indices serialize — removing them was worth ~25%
+    # of the whole frame, round 3)
     j_idx = jnp.maximum(idx - step, seg_start)
     k_idx = jnp.minimum(idx + step, seg_end)
-    pj = xy[j_idx]
-    pk = xy[k_idx]
+    dj = idx - j_idx  # (N,) in 0..step
+    dk = k_idx - idx
+    xp = jnp.pad(xy, ((step, step), (0, 0)))
+    pj = jnp.zeros_like(xy)
+    pk = jnp.zeros_like(xy)
+    for d in range(step + 1):
+        sh_m = jax.lax.dynamic_slice_in_dim(xp, step - d, N)  # xy[i-d]
+        sh_p = jax.lax.dynamic_slice_in_dim(xp, step + d, N)  # xy[i+d]
+        pj = jnp.where((dj == d)[:, None], sh_m, pj)
+        pk = jnp.where((dk == d)[:, None], sh_p, pk)
     v1 = pj - xy
     v2 = pk - xy
     n1 = jnp.linalg.norm(v1, axis=-1)
@@ -213,13 +229,21 @@ def extract_features(
     resp = jnp.where(interior & (n1 > _EPS) & (n2 > _EPS), resp, -1.0)
 
     # --- 3. strict NMS within ±step (same segment, interior only) --------
-    is_max = interior
+    # static padded slices instead of clipped gathers: a gather of (N,)
+    # with data-dependent indices serializes on TPU; shifts are views
+    resp_vote = jnp.where(interior, resp, -_BIG)  # only interior votes
+    rp = jnp.pad(resp_vote, (step, step), constant_values=-_BIG)
+    sp = jnp.pad(seg_id, (step, step), constant_values=-1)
+    neigh_max = jnp.full((N,), -_BIG, resp.dtype)
     for d in range(1, step + 1):
         for sgn in (-1, 1):
-            nb = jnp.clip(idx + sgn * d, 0, N - 1)
-            same = (seg_id[nb] == seg_id) & (nb != idx) & interior[nb]
-            nb_resp = jnp.where(same, resp[nb], -_BIG)
-            is_max = is_max & (resp > nb_resp)
+            off = step + sgn * d
+            r_sh = jax.lax.dynamic_slice_in_dim(rp, off, N)
+            s_sh = jax.lax.dynamic_slice_in_dim(sp, off, N)
+            neigh_max = jnp.maximum(
+                neigh_max, jnp.where(s_sh == seg_id, r_sh, -_BIG)
+            )
+    is_max = interior & (resp > neigh_max)
 
     # breakpoints: segment starts/ends + NMS maxima
     is_bp = is_max | ((idx == seg_start) | (idx == seg_end)) & valid
@@ -236,12 +260,26 @@ def extract_features(
     next_bp = -pm[::-1, 1]
 
     # for a bp at i: prev bp strictly before, next bp strictly after
-    prev_of = jnp.where(idx > 0, prev_bp[jnp.maximum(idx - 1, 0)], -1)
-    next_of = jnp.where(idx < N - 1, next_bp[jnp.minimum(idx + 1, N - 1)], N + 1)
-    has_prev = (prev_of >= 0) & (seg_id[jnp.clip(prev_of, 0, N - 1)] == seg_id)
-    has_next = (next_of <= N - 1) & (seg_id[jnp.clip(next_of, 0, N - 1)] == seg_id)
-    pprev = xy[jnp.clip(prev_of, 0, N - 1)]
-    pnext = xy[jnp.clip(next_of, 0, N - 1)]
+    # (shift-by-one as concatenation, not a clipped gather)
+    prev_of = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev_bp[:-1]])
+    next_of = jnp.concatenate([next_bp[1:], jnp.full((1,), N + 1, jnp.int32)])
+    # breakpoint positions can be any distance away -> gather needed; do
+    # it as ONE-HOT MXU MATMULS over a [xy | seg] table (no serialized
+    # row gathers).  Out-of-range indices hit no one-hot column and
+    # yield zero rows; seg ids start at 1 so a zero row never matches.
+    seg_f = seg_id.astype(dtype)
+    tbl = jnp.concatenate([xy, seg_f[:, None]], 1)  # (N,3)
+
+    def oh_rows(ix):
+        oh = (ix[:, None] == idx[None, :]).astype(dtype)  # (N,N)
+        return oh @ tbl
+
+    gp = oh_rows(prev_of)
+    gn_ = oh_rows(next_of)
+    pprev = gp[:, :2]
+    pnext = gn_[:, :2]
+    has_prev = (prev_of >= 0) & (gp[:, 2] == seg_f)
+    has_next = (next_of <= N - 1) & (gn_[:, 2] == seg_f)
     u1 = pprev - xy
     u2 = pnext - xy
     joint_cos = jnp.sum(u1 * u2, -1) / jnp.maximum(
@@ -261,14 +299,35 @@ def extract_features(
     pm2 = _packed_prefix_max(packed2, fast=fast)
     prev_kept = pm2[:, 0]
     kept_next = -pm2[::-1, 1]
-    span_end = jnp.where(idx < N - 1, kept_next[jnp.minimum(idx + 1, N - 1)], N + 1)
+    span_end = jnp.concatenate(
+        [kept_next[1:], jnp.full((1,), N + 1, jnp.int32)]
+    )
     cand_valid = keep_bp & (span_end <= N - 1) & (span_end - idx >= 2)
-    cand_valid = cand_valid & (seg_id[jnp.clip(span_end, 0, N - 1)] == seg_id) & valid
     i1 = idx
     i2 = jnp.clip(span_end, 0, N - 1)
 
+    # every per-span quantity indexed by i2 comes out of ONE one-hot
+    # matmul over a column-shifted table: row r = [cs[r] | xy[r-1] |
+    # seg[r-1] | gap_full[r-1]], gathered at r = i2+1 (cs needs i2+1,
+    # the rest need i2)
+    gap_full = jnp.concatenate([jnp.zeros(1, dtype), gap])  # |p[i]-p[i-1]|
+    spantbl = jnp.concatenate(
+        [
+            cs,  # (N+1,6) leading-zero-row prefix sums
+            jnp.concatenate([jnp.zeros((1, 2), dtype), xy]),
+            jnp.concatenate([jnp.full((1,), -1.0, dtype), seg_f])[:, None],
+            jnp.concatenate([jnp.zeros((1,), dtype), gap_full])[:, None],
+        ],
+        1,
+    )  # (N+1, 10)
+    oh2 = (
+        (i2 + 1)[:, None] == jnp.arange(N + 1, dtype=jnp.int32)[None, :]
+    ).astype(dtype)  # (N, N+1)
+    g2 = oh2 @ spantbl  # (N,10)
+    cand_valid = cand_valid & (g2[:, 8] == seg_f) & valid
+
     # range queries over the prefix-summed moments computed in step 1
-    S = _range_sum(cs, i1, i2)  # (N,6): sx sy sxx sxy syy n
+    S = g2[:, :6] - cs[:N]  # cs[i2+1] - cs[i1], i1 = idx (static rows)
     n = jnp.maximum(S[:, 5], 1.0)
     mx, my = S[:, 0] / n, S[:, 1] / n
     cxx = S[:, 2] / n - mx * mx
@@ -294,8 +353,8 @@ def extract_features(
         d = jnp.sum(pt * nv, -1) + c
         return pt - d[:, None] * nv
 
-    e1 = project(xy[i1], nvec, cc)
-    e2 = project(xy[i2], nvec, cc)
+    e1 = project(xy, nvec, cc)  # xy[i1] with i1 = idx
+    e2 = project(g2[:, 6:8], nvec, cc)  # xy[i2] from the span table
     length = jnp.linalg.norm(e2 - e1, axis=-1)
 
     # max point-to-line distance over each candidate span, as ONE dense
@@ -323,11 +382,10 @@ def extract_features(
 
     # beam spacing at the span ends: corners live where two segments meet,
     # but each segment's last return sits up to one beam spacing short of
-    # the physical corner, so the corner gate must scale with it
-    gap_full = jnp.concatenate([jnp.zeros(1, dtype), gap])  # (N,) |p[i]-p[i-1]|
-    end_gap = jnp.maximum(
-        gap_full[jnp.clip(i1 + 1, 0, N - 1)], gap_full[jnp.clip(i2, 0, N - 1)]
-    )
+    # the physical corner, so the corner gate must scale with it.
+    # gap_full[i1+1] is a static shift; gap_full[i2] came from the table.
+    gf_next = jnp.concatenate([gap_full[1:], gap_full[-1:]])
+    end_gap = jnp.maximum(gf_next, g2[:, 9])
 
     lv, lp1, lp2, lgap = _compact(line_ok, max_lines, e1, e2, end_gap)
     z = jnp.zeros((max_lines, 1), dtype)
@@ -417,9 +475,22 @@ def deskew(points, times_rel, linear, angular):
     ray by its per-point time offset under the current twist estimate.
 
     points: (N,3); times_rel: (N,) seconds relative to scan stamp;
-    linear/angular: (3,) laser-frame twist."""
-    from liwslam.core import geometry as geo
+    linear/angular: (3,) laser-frame twist.
 
-    dt = times_rel[:, None]
-    T = geo.make_tf(dt * linear[None, :], dt * angular[None, :])
-    return geo.tf_apply(T, points)
+    Rodrigues form directly on the points — same math as the previous
+    per-point SE3 build (make_tf + tf_apply) with a third of the kernels:
+    no (N,4,4) materialization, no batched 4x4 matvecs (round 3)."""
+    dt = times_rel[:, None]  # (N,1)
+    w = dt * angular[None, :]  # (N,3) rotation vectors
+    v = dt * linear[None, :]
+    th2 = jnp.sum(w * w, -1, keepdims=True)
+    th = jnp.sqrt(jnp.maximum(th2, 1e-24))
+    k = w / th
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    kxp = jnp.cross(k, points)
+    kdp = jnp.sum(k * points, -1, keepdims=True)
+    rot = points * c + kxp * s + k * kdp * (1.0 - c)
+    # tiny angles: first order (matches exp_so3's small-angle guard)
+    rot = jnp.where(th2 < 1e-12, points + jnp.cross(w, points), rot)
+    return rot + v

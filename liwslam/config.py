@@ -145,7 +145,7 @@ class Params:
     cam_min_parallax: float = 0.02  # normalized-plane parallax gate
     cam_lk_radius: int = 7
     cam_lk_levels: int = 3
-    cam_lk_iters: int = 10
+    cam_lk_iters: int = 6
     cam_lk_max_err: float = 0.1  # LK verify gate (fraction of dynamic range)
     keyframe_capacity: int = 4096  # pose-graph node capacity
     edge_capacity: int = 8192  # pose-graph edge capacity

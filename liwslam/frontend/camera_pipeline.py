@@ -193,9 +193,16 @@ def norm_to_px(xy, K):
     return h[..., :2]
 
 
-def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg):
+def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg,
+            replenish: bool = True):
     """LK-track existing features into ``img`` and replenish new ones
-    (camera_manager.cpp:55-113).  Pure bookkeeping; no window recording."""
+    (camera_manager.cpp:55-113).  Pure bookkeeping; no window recording.
+
+    ``replenish=False`` runs the LK half only — used for the interval's
+    non-accepted camera messages: a feature spawned there cannot be
+    OBSERVED before the next accepted frame, whose own replenish finds
+    the same corners, so skipping it is observation-equivalent and about
+    halves the cost of full-camera-rate tracking (measured round 3)."""
     fw = cam.fw
 
     new_px, ok = trk.lk_track(
@@ -210,6 +217,10 @@ def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg):
     )
     px = jnp.where(ok[:, None], new_px, cam.px)
     live = ok
+    if not replenish:
+        return cam._replace(
+            px=px, live=live, prev_img=img, prev_valid=jnp.asarray(True)
+        )
 
     # replenish up to max_feature_num live tracks (goodFeaturesToTrack with
     # min-distance masking, camera_manager.cpp:93-113)
@@ -595,7 +606,7 @@ def tracking_step_cam(
 
         def obs_extra(cm, im):
             img, m = im
-            cm2 = observe(cm, img, ccfg, cdyn)
+            cm2 = observe(cm, img, ccfg, cdyn, replenish=False)
             cm2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(m, a, b), cm2, cm
             )

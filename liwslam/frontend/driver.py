@@ -164,6 +164,18 @@ class Frontend:
             self._compiled["cam_observe"] = obs
         return self._compiled["cam_observe"]
 
+    def _cam_observe_lk_fn(self):
+        """LK-only observe (no replenish) for non-accepted messages."""
+        if "cam_observe_lk" not in self._compiled:
+            ccfg, cdyn = self.ccfg, self.cdyn
+
+            @jax.jit
+            def obs(cam, img):
+                return cpl.observe(cam, img, ccfg, cdyn, replenish=False)
+
+            self._compiled["cam_observe_lk"] = obs
+        return self._compiled["cam_observe_lk"]
+
     def _cam_record_fn(self):
         if "cam_record" not in self._compiled:
             cdyn = self.cdyn
@@ -425,6 +437,7 @@ class Frontend:
         match_fn = self._match_fn()
         if use_cam:
             observe = self._cam_observe_fn()
+            observe_lk = self._cam_observe_lk_fn()
             rec_fn = self._cam_record_fn()
             h_px, w_px = frames[0].cam_img.shape
             cam_state = cpl.init_cam_state(h_px, w_px, self.ccfg, dtype)
@@ -437,7 +450,7 @@ class Frontend:
                 mask = np.asarray(fk.cam_extra_mask)
                 for j in range(fk.cam_extra_imgs.shape[0]):
                     if mask[j]:
-                        cs = observe(cs, jnp.asarray(fk.cam_extra_imgs[j]))
+                        cs = observe_lk(cs, jnp.asarray(fk.cam_extra_imgs[j]))
                 return cs
             cam_state = jax.tree_util.tree_map(jnp.asarray, cam_state)
         else:

@@ -90,6 +90,9 @@ class CamStaticCfg(NamedTuple):
     # static NMS cell size (>= feature_min_dis) for select_features'
     # dense cell-grid suppression (reshape needs a static tile)
     cell_px: int = 10
+    # joint solve: "schur" (landmark-Schur LM, solve/cam_schur.py) or
+    # "chol" (generic dense LM over the (30+3F)-dim state)
+    solver: str = "schur"
 
 
 class CamDynCfg(NamedTuple):
@@ -119,6 +122,7 @@ def make_cam_static_cfg(params) -> CamStaticCfg:
         solver_max_iterations=params.solver_max_iterations,
         fast_mode=params.fast_mode,
         cell_px=max(1, int(-(-float(params.feature_min_dis) // 1))),
+        solver=params.cam_solver,
     )
 
 
@@ -437,38 +441,67 @@ def camera_sub_step(
     fw = cam.fw
     n_obs = jnp.sum(fw.obs_mask.astype(jnp.int32), axis=1)
 
-    def res_fn(x):
-        st2 = fac.WindowState.from_flat(x[:30], 2)
-        world = x[30:].reshape(F, 3)
-        base = fac.stack_residuals(st2, data, consts)
-        rows = camera_rows(
-            fw, world, cam.ring_p, cam.ring_q, cam.ring_valid,
-            st2.p[1], st2.q[1], cdyn,
-        )
-        return jnp.concatenate([base, rows.reshape(-1)])
-
-    free = jnp.zeros(30 + 3 * F, dtype)
-    free = free.at[15:30].set(1.0)
-    free = free.at[6:9].set(1.0)
+    free30 = jnp.zeros(30, dtype)
+    free30 = free30.at[15:30].set(1.0)
+    free30 = free30.at[6:9].set(1.0)
     if not scfg.fast_mode:
-        free = free.at[9:15].set(1.0)
+        free30 = free30.at[9:15].set(1.0)
     lm_free = fw.ready & (n_obs >= 2)
-    free = free.at[30:].set(jnp.repeat(lm_free.astype(dtype), 3))
-
-    x0 = jnp.concatenate([win.flat(), fw.world.reshape(-1)])
-
-    def wrap(x):
-        return x.at[:30].set(pl._wrap_q(x[:30], 2, dtype))
-
-    x_opt, cost, _ = gn.lm_solve(
-        res_fn,
-        x0,
-        free,
-        gn.LMConfig(max_iters=ccfg.solver_max_iterations, method="chol"),
-        wrap_fn=wrap,
+    lm_cfg = gn.LMConfig(
+        max_iters=ccfg.solver_max_iterations, method="chol"
     )
-    win = fac.WindowState.from_flat(x_opt[:30], 2)
-    world_opt = x_opt[30:].reshape(F, 3)
+    res30 = lambda x: fac.stack_residuals(
+        fac.WindowState.from_flat(x, 2), data, consts
+    )
+
+    if ccfg.solver == "schur":
+        # landmark-Schur LM (solve/cam_schur.py): 30-tangent base + 9-
+        # tangent reprojection rows, 30-dim reduced system, batched 3x3
+        # landmark back-substitution — the reference's SPARSE_SCHUR
+        # structure, parity-tested against the dense path
+        from liwslam.solve import cam_schur
+
+        use = fw.obs_mask & fw.ready[:, None] & cam.ring_valid[None, :]
+        x30_opt, world_opt, cost = cam_schur.lm_solve_cam_schur(
+            res30,
+            win.flat(),
+            free30,
+            fw.world,
+            lm_free,
+            fw.obs,
+            use,
+            cam.ring_p,
+            cam.ring_q,
+            cdyn.T_imu_to_camera,
+            cdyn.sqrt_info,
+            lm_cfg,
+            wrap30=lambda x: pl._wrap_q(x, 2, dtype),
+        )
+    else:
+
+        def res_fn(x):
+            st2 = fac.WindowState.from_flat(x[:30], 2)
+            world = x[30:].reshape(F, 3)
+            base = fac.stack_residuals(st2, data, consts)
+            rows = camera_rows(
+                fw, world, cam.ring_p, cam.ring_q, cam.ring_valid,
+                st2.p[1], st2.q[1], cdyn,
+            )
+            return jnp.concatenate([base, rows.reshape(-1)])
+
+        free = jnp.concatenate(
+            [free30, jnp.repeat(lm_free.astype(dtype), 3)]
+        )
+        x0 = jnp.concatenate([win.flat(), fw.world.reshape(-1)])
+
+        def wrap(x):
+            return x.at[:30].set(pl._wrap_q(x[:30], 2, dtype))
+
+        x_opt, cost, _ = gn.lm_solve(res_fn, x0, free, lm_cfg, wrap_fn=wrap)
+        x30_opt = x_opt[:30]
+        world_opt = x_opt[30:].reshape(F, 3)
+
+    win = fac.WindowState.from_flat(x30_opt, 2)
     cam = cam._replace(fw=fw._replace(world=world_opt))
 
     # --- prior: marginalize the previous frame (keep the camera frame) ---
@@ -480,10 +513,7 @@ def camera_sub_step(
             jnp.asarray(False),
         )
     else:
-        res30 = lambda x: fac.stack_residuals(
-            fac.WindowState.from_flat(x, 2), data, consts
-        )
-        prior_J, prior_res, prior_X = gn.marginalize(res30, x_opt[:30], keep=15)
+        prior_J, prior_res, prior_X = gn.marginalize(res30, x30_opt, keep=15)
         prior_valid = jnp.asarray(True)
 
     new_p, new_q = win.p[-1], win.q[-1]

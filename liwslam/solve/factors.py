@@ -293,6 +293,43 @@ def point_residual(p, q, pt1, pt2):
     return 100.0 * (pt1 - geo.tf_apply(geo.make_tf(p, q), pt2))
 
 
+def prior_factor_residual(p_i, q_i, prior_p, prior_q, sqrt_H):
+    """edge_factor.h:27-77 (prior_factor): direct state difference
+    [prior_p - p; prior_q - q] weighted by a stored 6x6 sqrt-information
+    block.  DEFINED-BUT-UNUSED in the reference — its only call site is
+    commented out (keyframe_manager.cpp:756-772); provided so the factor
+    library covers the reference's full API surface."""
+    d = jnp.concatenate([prior_p - p_i, prior_q - q_i])
+    return sqrt_H @ d
+
+
+def loop_edge_residual(p_i, q_i, p_j, q_j, w_tf12, T_imu_to_wheel, info6,
+                       weight=1.0):
+    """edge_factor.h:128-179 (loop_edge_factor): planar relative-pose
+    residual in the WHEEL frame — x, y and yaw components only, rows 3-5
+    zero (the reference's res[3..5] = 0).  ``w_tf12`` is the measured
+    relative transform already conjugated into the wheel frame, exactly
+    like the reference ctor does with its tf12 argument.  DEFINED-BUT-
+    UNUSED in the reference (the shipped pose graph uses edge_factor);
+    provided for API-surface completeness."""
+    Tiw = T_imu_to_wheel
+    tf_ij = geo.tf_inv(geo.make_tf(p_i, q_i)) @ geo.make_tf(p_j, q_j)
+    w_tf_ij = geo.tf_inv(Tiw) @ tf_ij @ Tiw
+    p, q = geo.log_SE3(w_tf_ij)
+    op, oq = geo.log_SE3(w_tf12)
+    z = jnp.zeros((), p.dtype)
+    return jnp.stack(
+        [
+            weight * info6[0] * (p[0] - op[0]),
+            weight * info6[1] * (p[1] - op[1]),
+            weight * info6[5] * (q[2] - oq[2]),
+            z,
+            z,
+            z,
+        ]
+    )
+
+
 def edge_info6(params, dtype=jnp.float32):
     """Intended diagonal of edge_noise (edge_factor.h:15-25; the reference
     leaves J(1,1)=1 due to the J(1,2) typo — we use the intended value)."""

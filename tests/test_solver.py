@@ -286,3 +286,62 @@ def test_laser_residual_pulls_pose():
     st2 = st._replace(p=st.p.at[1, 0].add(0.1))
     r1 = np.asarray(fac.laser_residual(st2, d, consts))
     assert np.abs(r1[0]).max() > 1.0  # 0.1m at info 1000 * len weight
+
+
+def test_prior_factor_residual():
+    """edge_factor.h:27-77 semantics: zero at the prior point, linear in
+    the deviation through sqrt_H; jacfwd matches -sqrt_H."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(6, 6))
+    sqrt_H = jnp.asarray(A @ A.T * 0.1 + np.eye(6), jnp.float32)
+    pp = jnp.asarray(rng.normal(size=3), jnp.float32)
+    pq = jnp.asarray(rng.normal(0, 0.3, 3), jnp.float32)
+    r0 = fac.prior_factor_residual(pp, pq, pp, pq, sqrt_H)
+    np.testing.assert_allclose(np.asarray(r0), 0.0, atol=1e-6)
+    d = jnp.asarray(rng.normal(0, 0.01, 6), jnp.float32)
+    r = fac.prior_factor_residual(pp + d[:3], pq + d[3:], pp, pq, sqrt_H)
+    np.testing.assert_allclose(
+        np.asarray(r), -np.asarray(sqrt_H) @ np.asarray(d), atol=1e-5
+    )
+    J = jax.jacfwd(lambda p, q: fac.prior_factor_residual(p, q, pp, pq, sqrt_H))(
+        pp, pq
+    )
+    np.testing.assert_allclose(np.asarray(J), -np.asarray(sqrt_H)[:, :3], atol=1e-5)
+
+
+def test_loop_edge_residual():
+    """edge_factor.h:128-179 semantics: planar x/y/yaw rows in the wheel
+    frame, rows 3-5 exactly zero; zero residual at the measured relative
+    pose; finite differences match jacfwd."""
+    import jax
+
+    from liwslam import config
+
+    rng = np.random.default_rng(1)
+    Tiw = jnp.asarray(config.office().mat_T_imu_to_wheel(), jnp.float32)
+    info6 = jnp.asarray([10.0, 10.0, 1.0, 1.0, 1.0, 25.0], jnp.float32)
+    p_i = jnp.asarray(rng.normal(size=3), jnp.float32)
+    q_i = jnp.asarray(rng.normal(0, 0.2, 3), jnp.float32)
+    p_j = jnp.asarray(rng.normal(size=3), jnp.float32)
+    q_j = jnp.asarray(rng.normal(0, 0.2, 3), jnp.float32)
+    tf_ij = geo.tf_inv(geo.make_tf(p_i, q_i)) @ geo.make_tf(p_j, q_j)
+    w_tf12 = geo.tf_inv(Tiw) @ tf_ij @ Tiw  # consistent measurement
+    r = fac.loop_edge_residual(p_i, q_i, p_j, q_j, w_tf12, Tiw, info6)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=2e-5)
+    # perturbed: rows 3-5 stay exactly zero, the rest respond
+    r2 = fac.loop_edge_residual(
+        p_i + 0.1, q_i, p_j, q_j, w_tf12, Tiw, info6
+    )
+    assert np.all(np.asarray(r2[3:]) == 0.0)
+    assert np.linalg.norm(np.asarray(r2[:3])) > 1e-3
+    # autodiff consistency (finite differences on the first pose)
+    f = lambda p: fac.loop_edge_residual(p, q_i, p_j, q_j, w_tf12, Tiw, info6)
+    J = np.asarray(jax.jacfwd(f)(p_i))
+    eps = 1e-3
+    for k in range(3):
+        dp = np.zeros(3, np.float32)
+        dp[k] = eps
+        fd = (np.asarray(f(p_i + dp)) - np.asarray(f(p_i - dp))) / (2 * eps)
+        np.testing.assert_allclose(J[:, k], fd, atol=2e-2)

@@ -118,14 +118,16 @@ class KeyframeManager:
         without the min-interval gate — a detected cross-session loop
         rigidly aligns the sessions through the shared pose graph."""
         prm = self.params
-        T_track = np.asarray(geo.make_tf(jnp.asarray(p), jnp.asarray(q)), np.float64)
+        # host numpy twins: eager jnp ops here cost ms-scale dispatch per
+        # keyframe (and compile remotely under axon) — geometry.make_tf_np
+        T_track = geo.make_tf_np(p, q)
         T_corr = self.modify_delta_tf(session) @ T_track
-        pc, qc = geo.log_SE3(jnp.asarray(T_corr, self.dtype))
+        pc, qc = geo.log_SE3_np(T_corr)
         kf = Keyframe(
             t_us=int(t_us),
             T_tracking=T_track,
-            p=np.asarray(pc, np.float64),
-            q=np.asarray(qc, np.float64),
+            p=pc,
+            q=qc,
             is_laser=is_laser,
             corners=np.asarray(corners).reshape(-1, 3),
             scan_lines=scan_lines,
@@ -167,13 +169,7 @@ class KeyframeManager:
             for i, kf2 in enumerate(self.keyframes):
                 newest[kf2.session] = i
             for s, i in newest.items():
-                T_new = np.asarray(
-                    geo.make_tf(
-                        jnp.asarray(self.keyframes[i].p),
-                        jnp.asarray(self.keyframes[i].q),
-                    ),
-                    np.float64,
-                )
+                T_new = geo.make_tf_np(self.keyframes[i].p, self.keyframes[i].q)
                 self._modify_delta[s] = T_new @ np.linalg.inv(
                     self.keyframes[i].T_tracking
                 )
@@ -372,29 +368,17 @@ class KeyframeManager:
             if s1 == s2:
                 track_t12 = np.linalg.inv(tf1) @ tf2
             elif self.sessions_coregistered(s1, s2):
-                Tc1 = np.asarray(
-                    geo.make_tf(
-                        jnp.asarray(self.keyframes[i1].p),
-                        jnp.asarray(self.keyframes[i1].q),
-                    ),
-                    np.float64,
-                )
-                Tc2 = np.asarray(
-                    geo.make_tf(
-                        jnp.asarray(self.keyframes[i2].p),
-                        jnp.asarray(self.keyframes[i2].q),
-                    ),
-                    np.float64,
-                )
+                Tc1 = geo.make_tf_np(self.keyframes[i1].p, self.keyframes[i1].q)
+                Tc2 = geo.make_tf_np(self.keyframes[i2].p, self.keyframes[i2].q)
                 track_t12 = np.linalg.inv(Tc1) @ Tc2
             else:
                 track_t12 = None
             if track_t12 is not None:
                 err = np.linalg.inv(i_t12) @ track_t12
-                dp, dq = geo.log_SE3(jnp.asarray(err, self.dtype))
+                dp, dq = geo.log_SE3_np(err)
                 if (
-                    float(jnp.linalg.norm(dp)) > prm.loop_max_tf_p
-                    or float(jnp.linalg.norm(dq)) > prm.loop_max_tf_q
+                    float(np.linalg.norm(dp)) > prm.loop_max_tf_p
+                    or float(np.linalg.norm(dq)) > prm.loop_max_tf_q
                 ):
                     continue
             if not self._verify_loop(i1, i2, i_t12):
@@ -487,12 +471,7 @@ class KeyframeManager:
         if not self.keyframes:
             return np.zeros(0, np.int64), np.zeros((0, 4, 4))
         ts = np.asarray([kf.t_us for kf in self.keyframes])
-        Ts = np.stack(
-            [
-                np.asarray(geo.make_tf(jnp.asarray(kf.p), jnp.asarray(kf.q)))
-                for kf in self.keyframes
-            ]
-        )
+        Ts = np.stack([geo.make_tf_np(kf.p, kf.q) for kf in self.keyframes])
         return ts, Ts
 
     def corrected_live_pose(self, T_tracking, session=0):

@@ -232,3 +232,78 @@ def dis_from_line(p, p1, p2):
 def angle_wrap(a):
     """Wrap scalar angle(s) to (-pi, pi]."""
     return a - 2.0 * jnp.pi * jnp.floor((a + jnp.pi) / (2.0 * jnp.pi))
+
+
+# --- numpy twins (host orchestration) --------------------------------------
+# The backend keyframe manager runs at keyframe rate on the HOST; eager
+# jnp ops there cost ms-scale dispatch each (and under axon even "CPU"
+# eager ops compile remotely).  These f64 numpy twins implement the same
+# lie:: math for host-side bookkeeping (round 3: add_keyframe went
+# ~20 -> ~12 ms warm).
+
+def make_tf_np(p, w):
+    """numpy twin of make_tf (single pose)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float64)
+    p = np.asarray(p, np.float64)
+    th2 = float(w @ w)
+    K = np.array(
+        [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]], np.float64
+    )
+    if th2 < 1e-16:
+        a, b = 1.0 - th2 / 6.0, 0.5 - th2 / 24.0
+    else:
+        th = np.sqrt(th2)
+        a, b = np.sin(th) / th, (1.0 - np.cos(th)) / th2
+    T = np.eye(4)
+    T[:3, :3] = np.eye(3) + a * K + b * (K @ K)
+    T[:3, 3] = p
+    return T
+
+
+def log_SE3_np(T):
+    """numpy twin of log_SE3 (single pose): (p, so3 w), |angle| <= pi."""
+    import numpy as np
+
+    T = np.asarray(T, np.float64)
+    R = T[:3, :3]
+    # quaternion route, matching quat_from_mat's Shepperd extraction
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    cand = np.array([tr, R[0, 0], R[1, 1], R[2, 2]])
+    k = int(np.argmax(cand))
+    if k == 0:
+        s = np.sqrt(max(1.0 + tr, 1e-16)) * 2.0
+        q = np.array(
+            [0.25 * s, (R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+             (R[1, 0] - R[0, 1]) / s]
+        )
+    elif k == 1:
+        s = np.sqrt(max(1.0 + R[0, 0] - R[1, 1] - R[2, 2], 1e-16)) * 2.0
+        q = np.array(
+            [(R[2, 1] - R[1, 2]) / s, 0.25 * s, (R[0, 1] + R[1, 0]) / s,
+             (R[0, 2] + R[2, 0]) / s]
+        )
+    elif k == 2:
+        s = np.sqrt(max(1.0 + R[1, 1] - R[0, 0] - R[2, 2], 1e-16)) * 2.0
+        q = np.array(
+            [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s, 0.25 * s,
+             (R[1, 2] + R[2, 1]) / s]
+        )
+    else:
+        s = np.sqrt(max(1.0 + R[2, 2] - R[0, 0] - R[1, 1], 1e-16)) * 2.0
+        q = np.array(
+            [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, 0.25 * s]
+        )
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    qv = q[1:]
+    sin_half = np.linalg.norm(qv)
+    if sin_half < 1e-12:
+        w = 2.0 * qv
+    else:
+        angle = 2.0 * np.arctan2(sin_half, q[0])
+        w = (angle / sin_half) * qv
+    return T[:3, 3].copy(), w

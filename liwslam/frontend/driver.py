@@ -964,15 +964,22 @@ class Frontend:
                 )
             k += n
 
-        # prepend init-window states (optimized by init_solve)
-        init_p = list(np.asarray(st_init.p))
-        init_q = list(np.asarray(st_init.q))
+        # prepend init-window states (optimized by init_solve) — v/bs too,
+        # so every per-frame array shares length F and v[i] matches t_us[i]
+        init_p = np.asarray(st_init.p)
+        init_q = np.asarray(st_init.q)
+        init_v = np.asarray(st_init.v)
+        init_bs = np.asarray(st_init.bs)
+
+        def _cat(init_a, rows):
+            return np.concatenate([init_a, np.stack(rows)]) if rows else init_a
+
         return FrontendResult(
             t_us=np.asarray(out_t),
-            p=np.concatenate([np.stack(init_p), np.stack(out_p)]) if out_p else np.stack(init_p),
-            q=np.concatenate([np.stack(init_q), np.stack(out_q)]) if out_q else np.stack(init_q),
-            v=np.stack(out_v) if out_v else np.zeros((0, 3)),
-            bs=np.stack(out_bs) if out_bs else np.zeros((0, 6)),
+            p=_cat(init_p, out_p),
+            q=_cat(init_q, out_q),
+            v=_cat(init_v, out_v),
+            bs=_cat(init_bs, out_bs),
             is_keyframe=np.asarray([False] * st_init_n + out_kf),
             n_match=np.asarray([0] * st_init_n + out_nm),
             n_lines=np.asarray([0] * st_init_n + out_nl),

@@ -117,8 +117,16 @@ def _lz4_block_decompress(src: bytes, out: bytearray):
         start = len(out) - offset
         if start < 0:
             raise ValueError("corrupt lz4 block (offset past start)")
-        for k in range(mlen):  # byte-wise: matches may overlap themselves
-            out.append(out[start + k])
+        if offset >= mlen:
+            # non-overlapping match: one slice copy (the common case —
+            # byte-at-a-time here made multi-hundred-MB bags take minutes)
+            out += out[start : start + mlen]
+        else:
+            # overlapping match replicates the period; build it by doubling
+            chunk = out[start:]
+            while len(chunk) < mlen:
+                chunk += chunk
+            out += chunk[:mlen]
 
 
 def lz4_frame_decompress(data: bytes) -> bytes:

@@ -68,6 +68,7 @@ class OnlineRunner:
         self._be_busy = 0.0
         self._fe_busy = 0.0
         self._worker = None
+        self._worker_exc = None  # first exception raised in the worker
 
     # -- backend worker ------------------------------------------------------
 
@@ -83,11 +84,19 @@ class OnlineRunner:
         self._be_busy += time.perf_counter() - t0
 
     def _worker_loop(self):
+        # keep draining on error: a backend crash must not wedge the
+        # frontend against the bounded mailbox (maxsize above) — record the
+        # first exception and re-raise it on the main thread at drain time
         while True:
             kf = self._q.get()
             if kf is None:
                 return
-            self._process_one(kf)
+            if self._worker_exc is not None:
+                continue
+            try:
+                self._process_one(kf)
+            except BaseException as e:  # noqa: BLE001
+                self._worker_exc = e
 
     # -- main ---------------------------------------------------------------
 
@@ -133,6 +142,8 @@ class OnlineRunner:
             self._q.put(None)
             self._worker.join()
             drain_wait = time.perf_counter() - t_d
+            if self._worker_exc is not None:
+                raise self._worker_exc
         wall = time.perf_counter() - t_start
 
         # init-window frames precede the first chunk: identity correction

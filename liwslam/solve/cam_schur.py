@@ -190,7 +190,10 @@ def lm_solve_cam_schur(
         )
         xn = jnp.maximum(jnp.max(jnp.abs(x)), jnp.max(jnp.abs(wld)))
         xtol_hit = dxn < cfg.xtol * (xn + cfg.xtol)
-        done = done | (rel_change < cfg.ftol) | xtol_hit
+        # stall: rejected trial with the trust region collapsed (lam railed
+        # at max) — matches gn.lm_solve's body so the paths terminate alike
+        stalled = jnp.logical_not(accept) & (lam >= cfg.lam_max)
+        done = done | (rel_change < cfg.ftol) | xtol_hit | stalled
         return (x, wld, lin, lam, c1, it + 1, done)
 
     def cond(carry):

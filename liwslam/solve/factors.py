@@ -311,7 +311,13 @@ def loop_edge_residual(p_i, q_i, p_j, q_j, w_tf12, T_imu_to_wheel, info6,
     relative transform already conjugated into the wheel frame, exactly
     like the reference ctor does with its tf12 argument.  DEFINED-BUT-
     UNUSED in the reference (the shipped pose graph uses edge_factor);
-    provided for API-surface completeness."""
+    provided for API-surface completeness.
+
+    DELIBERATE DEVIATION: row 1 is weighted by ``info6[1]`` — the
+    *intended* 1/loop_sigma_p[1].  The reference's edge_noise ctor has a
+    typo (edge_factor.h:15-25 writes J(1,2) twice, leaving J(1,1)=1.0),
+    so its literal row-1 weight is 1; we follow the intended-value policy
+    documented on :func:`edge_info6` here as well."""
     Tiw = T_imu_to_wheel
     tf_ij = geo.tf_inv(geo.make_tf(p_i, q_i)) @ geo.make_tf(p_j, q_j)
     w_tf_ij = geo.tf_inv(Tiw) @ tf_ij @ Tiw

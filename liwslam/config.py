@@ -147,10 +147,12 @@ class Params:
     cam_lk_levels: int = 3
     cam_lk_iters: int = 6
     cam_lk_max_err: float = 0.1  # LK verify gate (fraction of dynamic range)
-    # camera joint pose+landmark solve: "schur" (landmark-Schur LM, the
-    # reference's SPARSE_SCHUR structure; parity-tested) or "chol"
+    # camera joint pose+landmark solve: "auto" (pallas on TPU, schur
+    # elsewhere), "pallas" (ONE-kernel landmark-Schur LM + fused
+    # marginalization, ops/cam_solve.py), "schur" (XLA landmark-Schur LM,
+    # the reference's SPARSE_SCHUR structure; parity-tested) or "chol"
     # (generic dense LM over the (30+3F)-dim state)
-    cam_solver: str = "schur"
+    cam_solver: str = "auto"
     keyframe_capacity: int = 4096  # pose-graph node capacity
     edge_capacity: int = 8192  # pose-graph edge capacity
     loop_probe_count: int = 5  # match_map probes (keyframe_manager.cpp:1139)

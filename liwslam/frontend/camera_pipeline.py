@@ -454,7 +454,38 @@ def camera_sub_step(
         fac.WindowState.from_flat(x, 2), data, consts
     )
 
-    if ccfg.solver == "schur":
+    solver = ccfg.solver
+    if solver == "auto":
+        # the one-kernel pallas solve wins on TPU (kernel-count collapse);
+        # XLA landmark-Schur elsewhere (interpret mode is far slower than
+        # the native XLA path for CPU tests)
+        solver = "pallas" if jax.default_backend() == "tpu" else "schur"
+    kernel_prior = None
+    if solver == "pallas":
+        # ONE kernel: landmark-Schur LM + the base-only marginalization
+        # Schur reduction (ops/cam_solve) — the gn.marginalize pass below
+        # is subsumed by the kernel's dH/dg outputs
+        from liwslam.ops import cam_solve
+
+        use = fw.obs_mask & fw.ready[:, None] & cam.ring_valid[None, :]
+        x30_opt, world_opt, cost, k_dH, k_dg = cam_solve.lm_solve_cam(
+            win.flat(),
+            free30,
+            fw.world,
+            lm_free,
+            fw.obs,
+            use,
+            cam.ring_p,
+            cam.ring_q,
+            data,
+            consts,
+            cdyn.T_imu_to_camera,
+            cdyn.sqrt_info,
+            max_iters=ccfg.solver_max_iterations,
+            interpret=jax.default_backend() != "tpu",
+        )
+        kernel_prior = (k_dH, k_dg)
+    elif solver == "schur":
         # landmark-Schur LM (solve/cam_schur.py): 30-tangent base + 9-
         # tangent reprojection rows, 30-dim reduced system, batched 3x3
         # landmark back-substitution — the reference's SPARSE_SCHUR
@@ -512,6 +543,12 @@ def camera_sub_step(
             state.prior_res,
             jnp.asarray(False),
         )
+    elif kernel_prior is not None:
+        # fused path: the kernel already produced the Schur-reduced
+        # (dH, dg) at the solution; only the eigendecomposition remains
+        prior_J, prior_res = gn.sqrt_prior(*kernel_prior)
+        prior_X = x30_opt[15:]
+        prior_valid = jnp.asarray(True)
     else:
         prior_J, prior_res, prior_X = gn.marginalize(res30, x30_opt, keep=15)
         prior_valid = jnp.asarray(True)

@@ -191,8 +191,10 @@ def _ground_block_jacobians(g: PoseGraph, c: PGConsts):
 
 
 def _gn_normal_products(g, c, free_mask):
-    """Return (rhs (K,6), Hmul: (K,6)->(K,6), diag (K,6)) of the masked
-    Gauss-Newton normal equations at the current linearization."""
+    """Return (rhs (K,6), Hmul: (K,6)->(K,6), diag (K,6), Hb (K,6,6),
+    (r_e, r_g)) of the masked Gauss-Newton normal equations at the
+    current linearization.  ``Hb`` holds the 6x6 node-diagonal blocks of
+    H (block-Jacobi preconditioner; cross blocks excluded)."""
     K = g.p.shape[0]
     dtype = g.p.dtype
     r_e, Ji, Jj = _edge_block_jacobians(g, c)
@@ -209,11 +211,12 @@ def _gn_normal_products(g, c, free_mask):
     rhs = rhs.at[g.e_j].add(-jnp.einsum("erd,er->ed", Jj, r_e))
     rhs = rhs - jnp.einsum("krd,kr->kd", Jg, r_g)
 
-    # diag(H) for Jacobi preconditioning + LM damping
-    diag = jnp.zeros((K, 6), dtype)
-    diag = diag.at[g.e_i].add(jnp.einsum("erd,erd->ed", Ji, Ji))
-    diag = diag.at[g.e_j].add(jnp.einsum("erd,erd->ed", Jj, Jj))
-    diag = diag + jnp.einsum("krd,krd->kd", Jg, Jg)
+    # 6x6 node-diagonal blocks of H (for block-Jacobi preconditioning)
+    Hb = jnp.zeros((K, 6, 6), dtype)
+    Hb = Hb.at[g.e_i].add(jnp.einsum("erd,erc->edc", Ji, Ji))
+    Hb = Hb.at[g.e_j].add(jnp.einsum("erd,erc->edc", Jj, Jj))
+    Hb = Hb + jnp.einsum("krd,krc->kdc", Jg, Jg)
+    diag = jnp.diagonal(Hb, axis1=1, axis2=2)
 
     def Hmul(x):  # x: (K,6)
         xi = x[g.e_i]
@@ -226,7 +229,46 @@ def _gn_normal_products(g, c, free_mask):
         out = out + jnp.einsum("krd,kr->kd", Jg, tg)
         return out
 
-    return rhs, Hmul, diag, (r_e, r_g)
+    return rhs, Hmul, diag, Hb, (r_e, r_g)
+
+
+def _block_jacobi_inv(Hb, lam_k, dscale, dtype):
+    """Inverse 6x6 preconditioner blocks of A = H + lam*dscale*I.
+
+    Free nodes get their true damped diagonal block; fixed/invalid nodes
+    (zero rows in Hb) collapse to a scaled identity — their residual is
+    identically zero through CG, so the scale there is irrelevant."""
+    K = Hb.shape[0]
+    eye6 = jnp.eye(6, dtype=dtype)
+    M = Hb + jnp.einsum("kd,dc->kdc", lam_k * dscale, eye6)
+    M = M + 1e-8 * eye6[None]
+    return jnp.linalg.inv(M)
+
+
+def _pcg_loop(rhs, Amul, Minv_apply, cg_iters, cg_rtol, dtype):
+    """Preconditioned CG with early exit on rz <= cg_rtol^2 * rz0."""
+    K = rhs.shape[0]
+    x0 = jnp.zeros((K, 6), dtype)
+    z0 = Minv_apply(rhs)
+    rz0 = jnp.sum(rhs * z0)
+
+    def cond(st):
+        i, x, r, z, p, rz = st
+        return jnp.logical_and(i < cg_iters, rz > cg_rtol**2 * rz0 + 1e-30)
+
+    def body(st):
+        i, x, r, z, p, rz = st
+        Ap = Amul(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv_apply(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return (i + 1, x, r, z, z + beta * p, rz_new)
+
+    st = (jnp.asarray(0, jnp.int32), x0, rhs, z0, z0, rz0)
+    return jax.lax.while_loop(cond, body, st)[1]
 
 
 def solve_pcg(
@@ -236,7 +278,14 @@ def solve_pcg(
     cg_iters=50,
     lam=1e-6,
 ):
-    """Matrix-free damped Gauss-Newton with Jacobi-PCG inner solves."""
+    """Matrix-free damped Gauss-Newton with block-Jacobi-PCG inner solves.
+
+    Round-4 redesign (shared with the sharded variant, whose collective
+    count it bounds): 6x6 block-Jacobi preconditioning (CG converges in
+    far fewer iterations than the scalar-diagonal form), CG early exit
+    on relative residual, the current-point cost carried across GN
+    iterations (one residual evaluation per iteration instead of two),
+    and GN early exit once an accepted step stops improving."""
     K = g.p.shape[0]
     dtype = g.p.dtype
     fm = jnp.tile(g.node_valid[:, None], (1, 6)).astype(dtype)
@@ -246,47 +295,49 @@ def solve_pcg(
         r_e, r_g = graph_residuals(g2, c)
         return 0.5 * (jnp.sum(r_e * r_e) + jnp.sum(r_g * r_g))
 
-    def gn_body(k, carry):
-        g2, lam_k = carry
-        rhs, Hmul, diag, _ = _gn_normal_products(g2, c, fm)
+    def gn_body(carry):
+        g2, cost2, lam_k, it, done = carry
+        rhs, Hmul, diag, Hb, _ = _gn_normal_products(g2, c, fm)
         dscale = jnp.maximum(diag, 1e-8)
-        M_inv = 1.0 / (dscale + lam_k * dscale)
+        Minv = _block_jacobi_inv(Hb, lam_k, dscale, dtype)
 
         def Amul(x):
             return Hmul(x) + lam_k * dscale * x
 
-        # PCG
-        x0 = jnp.zeros((K, 6), dtype)
-        r0 = rhs
-        z0 = M_inv * r0
-        p0 = z0
+        def Minv_apply(r):
+            return jnp.einsum("kdc,kc->kd", Minv, r)
 
-        def cg_body(i, st):
-            x, r, z, p, rz = st
-            Ap = Amul(p)
-            denom = jnp.sum(p * Ap)
-            alpha = rz / jnp.maximum(denom, 1e-20)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = M_inv * r
-            rz_new = jnp.sum(r * z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
-            p = z + beta * p
-            return (x, r, z, p, rz_new)
-
-        st = (x0, r0, z0, p0, jnp.sum(r0 * z0))
-        st = jax.lax.fori_loop(0, cg_iters, cg_body, st)
-        dx = st[0] * fm
+        dx = _pcg_loop(rhs, Amul, Minv_apply, cg_iters, 1e-2, dtype) * fm
 
         g_new = g2._replace(
             p=g2.p + dx[:, :3], q=geo.normalize_so3(g2.q + dx[:, 3:])
         )
-        improved = cost_of(g_new) < cost_of(g2)
+        cost_new = cost_of(g_new)
+        improved = cost_new < cost2
         g2 = jax.tree_util.tree_map(
             lambda a, b: jnp.where(improved, a, b), g_new, g2
         )
-        lam_k = jnp.where(improved, lam_k * 0.5, lam_k * 8.0)
-        return (g2, jnp.clip(lam_k, 1e-9, 1e6))
+        cost1 = jnp.where(improved, cost_new, cost2)
+        lam_k = jnp.clip(
+            jnp.where(improved, lam_k * 0.5, lam_k * 8.0), 1e-9, 1e6
+        )
+        rel = jnp.abs(cost2 - cost_new) / jnp.maximum(cost2, 1e-20)
+        done = done | (rel < 1e-5)
+        return (g2, cost1, lam_k, it + 1, done)
 
-    g_out, _ = jax.lax.fori_loop(0, gn_iters, gn_body, (g, jnp.asarray(lam, dtype)))
-    return g_out, cost_of(g_out)
+    def gn_cond(carry):
+        *_, it, done = carry
+        return jnp.logical_and(it < gn_iters, jnp.logical_not(done))
+
+    g_out, cost_out, *_ = jax.lax.while_loop(
+        gn_cond,
+        gn_body,
+        (
+            g,
+            cost_of(g),
+            jnp.asarray(lam, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+        ),
+    )
+    return g_out, cost_out

@@ -26,17 +26,25 @@ def _grad(img):
     return gx, gy
 
 
+def _band(n, r, dtype):
+    """(n,n) band matrix B[i,j] = 1 for |i-j| <= r (clamped at borders —
+    same sums as the cumsum form, which clamps the window to the image)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (jnp.abs(ii - jj) <= r).astype(dtype)
+
+
 def _box(img, r):
-    """Box filter with a (2r+1) square window via cumsum."""
-    for ax in (0, 1):
-        c = jnp.cumsum(img, axis=ax)
-        pad = jnp.zeros_like(jnp.take(c, jnp.arange(r + 1), axis=ax))
-        hi = jnp.concatenate([jnp.take(c, jnp.arange(2 * r, c.shape[ax]), axis=ax),
-                              jnp.repeat(jnp.take(c, jnp.asarray([-1]), axis=ax), 2 * r, axis=ax)], axis=ax)
-        lo = jnp.concatenate([jnp.zeros_like(jnp.take(c, jnp.arange(2 * r + 1), axis=ax)),
-                              jnp.take(c, jnp.arange(c.shape[ax] - 2 * r - 1), axis=ax)], axis=ax)
-        img = hi - lo
-    return img
+    """Box filter with a (2r+1) square window.
+
+    Two band-matrix matmuls (MXU) instead of the round-1 cumsum chains:
+    at real camera resolution (640x480) the lane-axis cumsum is log-depth
+    over 640 lanes and dominated select_features; B_y @ img @ B_x is two
+    dense matmuls the MXU eats (~300 MFLOP at 480p)."""
+    H, W = img.shape
+    By = _band(H, r, img.dtype)
+    Bx = _band(W, r, img.dtype)
+    return By @ img @ Bx
 
 
 def shi_tomasi_response(img, window=2):
@@ -142,6 +150,27 @@ def select_features(img, n_max, min_dis, existing_xy=None, existing_valid=None,
     return out_xy, ok
 
 
+def downsample2(img):
+    """2x2 average-pool decimation (pyramid level step).
+
+    ``lax.reduce_window`` with stride 2 — the earlier ``img[::2, ::2]``
+    strided slices serialized on TPU at real camera resolution (measured
+    r4: the 640x480 camera bench went 37 -> 500 fps when the pyramid
+    level loop was removed; lane-axis stride-2 slicing was the cost)."""
+    s = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID"
+    )
+    return 0.25 * s
+
+
+def build_pyramid(img, levels):
+    """[img, half, quarter, ...] with ``levels`` entries."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(downsample2(pyr[-1]))
+    return pyr
+
+
 def _bilinear(img, xy):
     x, y = xy[..., 0], xy[..., 1]
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -213,11 +242,8 @@ def lk_track(img0, img1, pts, valid, *, radius=7, iters=10, levels=3,
     ``max_err`` is the mean-absolute-residual acceptance gate expressed as a
     fraction of the image's dynamic range (estimated as max(1, max(img0)) so
     both [0,1]-normalized and 8-bit [0,255] inputs verify identically)."""
-    pyr0 = [img0]
-    pyr1 = [img1]
-    for _ in range(levels - 1):
-        pyr0.append(0.25 * (pyr0[-1][::2, ::2] + pyr0[-1][1::2, ::2] + pyr0[-1][::2, 1::2] + pyr0[-1][1::2, 1::2]))
-        pyr1.append(0.25 * (pyr1[-1][::2, ::2] + pyr1[-1][1::2, ::2] + pyr1[-1][::2, 1::2] + pyr1[-1][1::2, 1::2]))
+    pyr0 = build_pyramid(img0, levels)
+    pyr1 = build_pyramid(img1, levels)
 
     # intensity scale so the verification gate is invariant to 8-bit vs
     # [0,1]-normalized input (a raw 0.1 absolute threshold silently killed

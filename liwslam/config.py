@@ -147,6 +147,11 @@ class Params:
     cam_lk_levels: int = 3
     cam_lk_iters: int = 6
     cam_lk_max_err: float = 0.1  # LK verify gate (fraction of dynamic range)
+    # LK implementation: "auto" (currently xla everywhere; see
+    # camera_pipeline.observe for the measured A/B), "pallas" (whole
+    # pyramid descent as ONE TPU kernel, ops/lk.py), "xla" (einsum
+    # patch sampling, camera/tracker.py)
+    cam_lk_impl: str = "auto"
     # camera joint pose+landmark solve: "auto" (pallas on TPU, schur
     # elsewhere), "pallas" (ONE-kernel landmark-Schur LM + fused
     # marginalization, ops/cam_solve.py), "schur" (XLA landmark-Schur LM,

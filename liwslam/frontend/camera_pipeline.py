@@ -93,6 +93,9 @@ class CamStaticCfg(NamedTuple):
     # joint solve: "schur" (landmark-Schur LM, solve/cam_schur.py) or
     # "chol" (generic dense LM over the (30+3F)-dim state)
     solver: str = "schur"
+    # LK implementation: "pallas" one-kernel descent (ops/lk.py) or
+    # "xla" einsum sampling (camera/tracker.py); resolved from "auto"
+    lk_impl: str = "xla"
 
 
 class CamDynCfg(NamedTuple):
@@ -123,6 +126,7 @@ def make_cam_static_cfg(params) -> CamStaticCfg:
         fast_mode=params.fast_mode,
         cell_px=max(1, int(-(-float(params.feature_min_dis) // 1))),
         solver=params.cam_solver,
+        lk_impl=params.cam_lk_impl,
     )
 
 
@@ -209,16 +213,42 @@ def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg,
     halves the cost of full-camera-rate tracking (measured round 3)."""
     fw = cam.fw
 
-    new_px, ok = trk.lk_track(
-        cam.prev_img,
-        img,
-        cam.px,
-        cam.live & cam.prev_valid,
-        radius=ccfg.lk_radius,
-        iters=ccfg.lk_iters,
-        levels=ccfg.lk_levels,
-        max_err=cdyn.lk_max_err,
-    )
+    impl = ccfg.lk_impl
+    if impl == "auto":
+        # measured (r4, same-process full-bench A/Bs after the pooled-
+        # pyramid fix): XLA einsum LK wins at 160x120 (479 vs 354 fps —
+        # the pallas kernel's per-sample dynamic-slice+roll floor
+        # dominates small images), the pallas one-kernel descent edges
+        # ahead at 640x480 (338 vs 331) and is resolution-independent.
+        # Pick by image area at trace time.
+        H_img, W_img = img.shape
+        big = H_img * W_img >= 300_000
+        impl = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+    if impl == "pallas":
+        from liwslam.ops import lk as lk_mod
+
+        new_px, ok = lk_mod.lk_track_pallas(
+            cam.prev_img,
+            img,
+            cam.px,
+            cam.live & cam.prev_valid,
+            radius=ccfg.lk_radius,
+            iters=ccfg.lk_iters,
+            levels=ccfg.lk_levels,
+            max_err=cdyn.lk_max_err,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        new_px, ok = trk.lk_track(
+            cam.prev_img,
+            img,
+            cam.px,
+            cam.live & cam.prev_valid,
+            radius=ccfg.lk_radius,
+            iters=ccfg.lk_iters,
+            levels=ccfg.lk_levels,
+            max_err=cdyn.lk_max_err,
+        )
     px = jnp.where(ok[:, None], new_px, cam.px)
     live = ok
     if not replenish:

@@ -14,6 +14,16 @@ relative to edge work, so the collective is one (K,6) psum per CG
 iteration riding ICI.  This is ``shard_map`` over a 1-D mesh axis; it
 composes with data-parallel multi-sequence front ends on an orthogonal
 axis (liwslam.parallel.multiseq).
+
+Collective budget per GN iteration (round-4 redesign, DCN-aware):
+ONE fused (K,43) psum carrying rhs + 6x6 H node blocks + the current
+cost, one (K,6) psum per CG iteration (CG dot products are local —
+vectors are replicated), and one scalar psum for the trial cost.  The
+6x6 block-Jacobi preconditioner plus CG early exit cut the CG psum
+count several-fold vs the round-3 scalar-diagonal form, and the GN
+while_loop stops once an accepted step stops improving (a converged
+solve no longer burns full 50-psum inner loops).  Measured:
+tools/count_collectives.py.
 """
 
 from __future__ import annotations
@@ -91,6 +101,10 @@ def solve_pcg_sharded(
             return 0.5 * jax.lax.psum(part, axis)
 
         def products(g2):
+            """One fused psum carries rhs (cols 0:6), the 6x6 node blocks
+            of H (cols 6:42) and the current-point cost partial (lane
+            [0,42]) — round 4 cut from three collectives (rhs, diag, 2x
+            cost) to ONE; diag falls out of the Hb blocks."""
             r_e, Ji, Jj = pg._edge_block_jacobians(g2, c)
             r_g, Jg = pg._ground_block_jacobians(g2, c)
             Ji = Ji * fm[g2.e_i][:, None, :]
@@ -101,13 +115,26 @@ def solve_pcg_sharded(
             rhs = rhs.at[g2.e_i].add(-jnp.einsum("erd,er->ed", Ji, r_e))
             rhs = rhs.at[g2.e_j].add(-jnp.einsum("erd,er->ed", Jj, r_e))
             rhs = rhs - jnp.einsum("krd,kr->kd", Jg, r_g) * jnp.sqrt(inv_n)
-            rhs = jax.lax.psum(rhs, axis)
 
-            diag = jnp.zeros((K, 6), dtype)
-            diag = diag.at[g2.e_i].add(jnp.einsum("erd,erd->ed", Ji, Ji))
-            diag = diag.at[g2.e_j].add(jnp.einsum("erd,erd->ed", Jj, Jj))
-            diag = diag + jnp.einsum("krd,krd->kd", Jg, Jg)
-            diag = jax.lax.psum(diag, axis)
+            Hb = jnp.zeros((K, 6, 6), dtype)
+            Hb = Hb.at[g2.e_i].add(jnp.einsum("erd,erc->edc", Ji, Ji))
+            Hb = Hb.at[g2.e_j].add(jnp.einsum("erd,erc->edc", Jj, Jj))
+            Hb = Hb + jnp.einsum("krd,krc->kdc", Jg, Jg)
+
+            cost_part = 0.5 * (
+                jnp.sum(r_e * r_e) + inv_n * jnp.sum(r_g * r_g)
+            )
+            payload = jnp.concatenate(
+                [rhs, Hb.reshape(K, 36)], axis=1
+            )
+            payload = jnp.concatenate(
+                [payload, jnp.zeros((K, 1), dtype).at[0, 0].set(cost_part)],
+                axis=1,
+            )
+            payload = jax.lax.psum(payload, axis)
+            rhs = payload[:, 0:6]
+            Hb = payload[:, 6:42].reshape(K, 6, 6)
+            cost_here = payload[0, 42]
 
             def Hmul(x):
                 t = jnp.einsum("erd,ed->er", Ji, x[g2.e_i]) + jnp.einsum(
@@ -120,44 +147,56 @@ def solve_pcg_sharded(
                 out = out + jnp.einsum("krd,kr->kd", Jg, tg)
                 return jax.lax.psum(out, axis)
 
-            return rhs, Hmul, diag
+            diag = jnp.diagonal(Hb, axis1=1, axis2=2)
+            return rhs, Hmul, diag, Hb, cost_here
 
-        def gn_body(k, carry):
-            g2, lam_k = carry
-            rhs, Hmul, diag = products(g2)
+        def gn_body(carry):
+            g2, cost2, lam_k, it, done = carry
+            rhs, Hmul, diag, Hb, _ = products(g2)
             dscale = jnp.maximum(diag, 1e-8)
-            M_inv = 1.0 / (dscale * (1.0 + lam_k))
+            Minv = pg._block_jacobi_inv(Hb, lam_k, dscale, dtype)
 
             def Amul(x):
                 return Hmul(x) + lam_k * dscale * x
 
-            x0 = jnp.zeros((K, 6), dtype)
-            st = (x0, rhs, M_inv * rhs, M_inv * rhs, jnp.sum(rhs * (M_inv * rhs)))
+            def Minv_apply(r):
+                return jnp.einsum("kdc,kc->kd", Minv, r)
 
-            def cg_body(i, s):
-                x, r, z, p, rz = s
-                Ap = Amul(p)
-                alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
-                x = x + alpha * p
-                r = r - alpha * Ap
-                z = M_inv * r
-                rz_new = jnp.sum(r * z)
-                beta = rz_new / jnp.maximum(rz, 1e-20)
-                return (x, r, z, z + beta * p, rz_new)
-
-            dx = jax.lax.fori_loop(0, cg_iters, cg_body, st)[0] * fm
+            # CG dot products are LOCAL (x/r replicated); the only
+            # collective per CG iteration is the Hmul psum
+            dx = pg._pcg_loop(rhs, Amul, Minv_apply, cg_iters, 1e-2, dtype)
+            dx = dx * fm
             g_new = g2._replace(
                 p=g2.p + dx[:, :3], q=geo.normalize_so3(g2.q + dx[:, 3:])
             )
-            improved = cost_of(g_new) < cost_of(g2)
+            cost_new = cost_of(g_new)  # one scalar psum
+            improved = cost_new < cost2
             g2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(improved, a, b), g_new, g2
             )
-            return (g2, jnp.clip(jnp.where(improved, lam_k * 0.5, lam_k * 8.0), 1e-9, 1e6))
+            cost1 = jnp.where(improved, cost_new, cost2)
+            lam_k = jnp.clip(
+                jnp.where(improved, lam_k * 0.5, lam_k * 8.0), 1e-9, 1e6
+            )
+            rel = jnp.abs(cost2 - cost_new) / jnp.maximum(cost2, 1e-20)
+            done = done | (rel < 1e-5)
+            return (g2, cost1, lam_k, it + 1, done)
 
-        g_out, _ = jax.lax.fori_loop(
-            0, gn_iters, gn_body, (g_local, jnp.asarray(lam, dtype))
+        def gn_cond(carry):
+            *_, it, done = carry
+            return jnp.logical_and(it < gn_iters, jnp.logical_not(done))
+
+        g_out, cost_out, *_ = jax.lax.while_loop(
+            gn_cond,
+            gn_body,
+            (
+                g_local,
+                cost_of(g_local),
+                jnp.asarray(lam, dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+            ),
         )
-        return g_out, cost_of(g_out)
+        return g_out, cost_out
 
     return run(g)

@@ -3,6 +3,7 @@ bench workload (bench.py --camera arm).
 
 Usage:
     python tools/ab_camera.py cam_solver=schur cam_solver=pallas [--passes N]
+                              [--wh WxH]
 
 Each spec gets its own Frontend/trace; all specs run in one process (the
 only valid timing comparison over the tunneled TPU; CLAUDE.md)."""
@@ -20,9 +21,12 @@ from tools.ab_params import parse_overrides  # noqa: E402
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     passes = 4
+    wh = (160, 120)
     for a in sys.argv[1:]:
         if a.startswith("--passes"):
             passes = int(a.split("=")[1])
+        if a.startswith("--wh"):
+            wh = tuple(int(v) for v in a.split("=")[1].split("x"))
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +40,8 @@ def main():
     jax.block_until_ready(x)
     print(f"tunnel probe: {time.time() - t0:.1f}s", flush=True)
 
-    W_PX, H_PX = 160, 120
+    W_PX, H_PX = wh
+    print(f"camera {W_PX}x{H_PX}", flush=True)
     base = config.office().replace(
         max_points=1152,
         max_lines=64,

@@ -67,6 +67,9 @@ def scan_stage(fn, CH):
 def main():
     CH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     W_PX, H_PX = 160, 120
+    if len(sys.argv) > 2:
+        W_PX, H_PX = (int(v) for v in sys.argv[2].split("x"))
+    print(f"camera {W_PX}x{H_PX}", flush=True)
     prm = config.office().replace(
         enable_camera=True,
         camera_K=sim.synthetic_camera_K(W_PX, H_PX),

@@ -322,7 +322,14 @@ def solve_pcg(
             jnp.where(improved, lam_k * 0.5, lam_k * 8.0), 1e-9, 1e6
         )
         rel = jnp.abs(cost2 - cost_new) / jnp.maximum(cost2, 1e-20)
-        done = done | (rel < 1e-5)
+        # exit on an ACCEPTED step that stopped improving, or when the
+        # trust region collapsed (lam railed after rejects) — a rejected
+        # trial with small change must keep iterating so lam adaptation
+        # can recover (measured: exiting on rejected-trial ftol left the
+        # sharded solver 4x short of the single-chip optimum)
+        done = done | (improved & (rel < 1e-5)) | (
+            jnp.logical_not(improved) & (lam_k >= 1e6)
+        )
         return (g2, cost1, lam_k, it + 1, done)
 
     def gn_cond(carry):

@@ -179,7 +179,11 @@ def solve_pcg_sharded(
                 jnp.where(improved, lam_k * 0.5, lam_k * 8.0), 1e-9, 1e6
             )
             rel = jnp.abs(cost2 - cost_new) / jnp.maximum(cost2, 1e-20)
-            done = done | (rel < 1e-5)
+            # accepted-step ftol or collapsed trust region only (see
+            # posegraph.solve_pcg)
+            done = done | (improved & (rel < 1e-5)) | (
+                jnp.logical_not(improved) & (lam_k >= 1e6)
+            )
             return (g2, cost1, lam_k, it + 1, done)
 
         def gn_cond(carry):

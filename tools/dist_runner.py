@@ -124,7 +124,7 @@ def worker(args):
     mesh = Mesh(np.asarray(jax.devices()).reshape(n_global), ("pg",))
     g_sh = pgd.shard_edges(g, mesh, "pg")
     g_out, cost = jax.jit(
-        lambda g: pgd.solve_pcg_sharded(g, consts, mesh, "pg", gn_iters=10, cg_iters=40)
+        lambda g: pgd.solve_pcg_sharded(g, consts, mesh, "pg", gn_iters=30, cg_iters=40)
     )(g_sh)
     # out_specs are replicated: every process holds the full result
     p_out = np.asarray(jax.device_get(g_out.p))
@@ -172,7 +172,7 @@ def worker(args):
         re0, rg0 = pg.graph_residuals(g, consts)
         cost0 = float(0.5 * (jnp.sum(re0 * re0) + jnp.sum(rg0 * rg0)))
         g1_out, cost1 = jax.jit(
-            lambda g: pg.solve_pcg(g, consts, gn_iters=10, cg_iters=40)
+            lambda g: pg.solve_pcg(g, consts, gn_iters=30, cg_iters=40)
         )(g)
         p1 = np.asarray(g1_out.p)
         dp = float(np.max(np.abs(p_out - p1)))

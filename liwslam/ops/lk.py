@@ -46,6 +46,11 @@ _ROWS = 32  # window rows: 7 (align) + 15 (patch) + 1 (bilinear) + 2 (grad)
 _LANES = 256  # window lanes: 127 (align) + 18
 _UNROLL = 8  # independent track chains interleaved per loop iteration
 
+# the fixed (32, 256) window must hold sublane alignment slack (7) +
+# patch (2r+1) + bilinear (1) + gradient (2) rows — beyond this the
+# rolled-in rows are garbage under pmask and tracks silently go wrong
+MAX_RADIUS = (_ROWS - 7 - 1 - 2 - 1) // 2  # = 10
+
 
 def _round_up(n, m):
     return -(-n // m) * m
@@ -252,6 +257,13 @@ def lk_track_pallas(
 ):
     """Drop-in for camera/tracker.lk_track: (new_pts (T,2), ok (T,))."""
     from liwslam.camera.tracker import build_pyramid
+
+    if radius > MAX_RADIUS:
+        raise ValueError(
+            f"lk_track_pallas: radius {radius} exceeds the fixed "
+            f"(rows={_ROWS}) window capacity (max {MAX_RADIUS}); use the "
+            "XLA path (cam_lk_impl='xla') for larger radii"
+        )
 
     dtype = jnp.float32
     T0 = pts.shape[0]

@@ -16,9 +16,11 @@ composes with data-parallel multi-sequence front ends on an orthogonal
 axis (liwslam.parallel.multiseq).
 
 Collective budget per GN iteration (round-4 redesign, DCN-aware):
-ONE fused (K,43) psum carrying rhs + 6x6 H node blocks + the current
-cost, one (K,6) psum per CG iteration (CG dot products are local —
-vectors are replicated), and one scalar psum for the trial cost.  The
+ONE fused (K,43) psum carrying rhs + 6x6 H node blocks + the
+current-point cost (which also seeds the first GN iteration — there is
+no separate initial-cost collective), one (K,6) psum per CG iteration
+(CG dot products are local — vectors are replicated), and one scalar
+psum for the trial cost.  The
 6x6 block-Jacobi preconditioner plus CG early exit cut the CG psum
 count several-fold vs the round-3 scalar-diagonal form, and the GN
 while_loop stops once an accepted step stops improving (a converged
@@ -151,8 +153,12 @@ def solve_pcg_sharded(
             return rhs, Hmul, diag, Hb, cost_here
 
         def gn_body(carry):
+            # cost2 (carried) is only the OUTPUT value; the current-point
+            # cost rides the fused products psum (cost_here), which makes
+            # the separate cost_of(g_local) seeding collective unnecessary
+            # (cost_here == last iteration's accepted cost by construction)
             g2, cost2, lam_k, it, done = carry
-            rhs, Hmul, diag, Hb, _ = products(g2)
+            rhs, Hmul, diag, Hb, cost2 = products(g2)
             dscale = jnp.maximum(diag, 1e-8)
             Minv = pg._block_jacobi_inv(Hb, lam_k, dscale, dtype)
 
@@ -190,12 +196,13 @@ def solve_pcg_sharded(
             *_, it, done = carry
             return jnp.logical_and(it < gn_iters, jnp.logical_not(done))
 
+        assert gn_iters >= 1  # the first gn_body evaluates the seed cost
         g_out, cost_out, *_ = jax.lax.while_loop(
             gn_cond,
             gn_body,
             (
                 g_local,
-                cost_of(g_local),
+                jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(lam, dtype),
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(False),

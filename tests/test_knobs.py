@@ -134,3 +134,16 @@ def test_verify_loop_rate_gates_manager(rng):
     assert run(1.01, scan) == 0
     # rate <= 0 reproduces the reference's always-true stub
     assert run(0.0, scan) >= 1
+
+
+def test_enable_laser_false_rejected_loudly():
+    """The reference's laser-off ingest gating (lvio_2d_node.cpp:33,
+    dispatch.h:202-212) implies a camera+IMU+wheel mode the laser-frame-
+    driven liwslam frontend does not support; the knob must fail loudly
+    at config construction instead of being silently ignored."""
+    import pytest
+
+    with pytest.raises(ValueError, match="enable_laser"):
+        config.Params(enable_laser=False)
+    with pytest.raises(ValueError, match="enable_laser"):
+        config.office().replace(enable_laser=False)

@@ -133,8 +133,15 @@ def main(argv=None):
 
     if len(streams.gt_t_us):
         pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
-        gt = streams.gt_T_w_imu[pairs[:, 1]]
-        report["ate_frontend_m"] = metrics.ate_rmse(est[pairs[:, 0]], gt)
+        if len(pairs):
+            gt = streams.gt_T_w_imu[pairs[:, 1]]
+            report["ate_frontend_m"] = metrics.ate_rmse(est[pairs[:, 0]], gt)
+        else:
+            print(
+                "gt provided but no timestamp associations found (check "
+                "that the gt file uses the bag's absolute time base)",
+                file=sys.stderr,
+            )
 
     if not args.no_backend:
         mgr = KeyframeManager(prm)

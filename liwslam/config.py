@@ -179,6 +179,12 @@ class Params:
     # (tools/ab_fastscan.py, same-process TPU A/B, 5 passes): on wins
     # 997 vs 978 fps median (~2%), consistent across passes.
     fast_prefix: str = "auto"
+    # line extraction implementation: "auto" (ONE Pallas launch on TPU,
+    # ops/extract; XLA scan chain elsewhere), "pallas", "xla".  The
+    # kernel collapses extraction's launch chain + (N,N) HBM temporaries
+    # into in-VMEM log-depth scans (round 5; parity-pinned in
+    # tests/test_extract_pallas.py)
+    extract_impl: str = "auto"
     dtype: str = "float32"  # device dtype for the solve path
 
     # ------------------------------------------------------------------

@@ -193,6 +193,19 @@ class Frontend:
 
             @jax.jit
             def extract(pts, valid):
+                if scan_mod.resolve_extract_impl(scfg.extract_impl) == "pallas":
+                    return scan_mod.extract_features_pallas(
+                        pts,
+                        valid,
+                        continuous_threshold=dcfg.line_continuous_threshold,
+                        min_len=dcfg.line_min_len,
+                        max_dis=dcfg.line_max_dis,
+                        tolerance_angle_rad=dcfg.tolerance_angle_rad,
+                        resolution=dcfg.resolution,
+                        max_lines=scfg.max_lines,
+                        max_corners=scfg.max_corners,
+                        interpret=jax.default_backend() != "tpu",
+                    )
                 return scan_mod.extract_features(
                     pts,
                     valid,

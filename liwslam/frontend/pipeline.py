@@ -59,6 +59,10 @@ class StaticCfg(NamedTuple):
     fast_prefix: str = "off"
     # pallas LM loop: while_loop early exit vs fixed-trip fori
     solver_early_exit: bool = True
+    # "auto" | "pallas" | "xla" — line extraction as ONE Pallas launch
+    # (ops/extract) vs the XLA scan chain (frontend/scan); auto picks
+    # pallas on TPU (the per-frame program is launch-latency-bound)
+    extract_impl: str = "auto"
 
 
 class DynCfg(NamedTuple):
@@ -92,6 +96,7 @@ def make_static_cfg(params) -> StaticCfg:
         solver_method=params.solver_method,
         fast_prefix=params.fast_prefix,
         solver_early_exit=params.solver_early_exit,
+        extract_impl=params.extract_impl,
     )
 
 
@@ -297,18 +302,32 @@ def tracking_step(
     pred_p, pred_q = geo.log_SE3(pred_T)
 
     # --- 4. feature extraction -------------------------------------------
-    feats = scan_mod.extract_features(
-        pts,
-        inp.point_valid,
-        continuous_threshold=dcfg.line_continuous_threshold,
-        min_len=dcfg.line_min_len,
-        max_dis=dcfg.line_max_dis,
-        tolerance_angle_rad=dcfg.tolerance_angle_rad,
-        resolution=dcfg.resolution,
-        max_lines=scfg.max_lines,
-        max_corners=scfg.max_corners,
-        fast_prefix=scfg.fast_prefix,
-    )
+    if scan_mod.resolve_extract_impl(scfg.extract_impl) == "pallas":
+        feats = scan_mod.extract_features_pallas(
+            pts,
+            inp.point_valid,
+            continuous_threshold=dcfg.line_continuous_threshold,
+            min_len=dcfg.line_min_len,
+            max_dis=dcfg.line_max_dis,
+            tolerance_angle_rad=dcfg.tolerance_angle_rad,
+            resolution=dcfg.resolution,
+            max_lines=scfg.max_lines,
+            max_corners=scfg.max_corners,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        feats = scan_mod.extract_features(
+            pts,
+            inp.point_valid,
+            continuous_threshold=dcfg.line_continuous_threshold,
+            min_len=dcfg.line_min_len,
+            max_dis=dcfg.line_max_dis,
+            tolerance_angle_rad=dcfg.tolerance_angle_rad,
+            resolution=dcfg.resolution,
+            max_lines=scfg.max_lines,
+            max_corners=scfg.max_corners,
+            fast_prefix=scfg.fast_prefix,
+        )
 
     # --- 5. match against the reference submap ----------------------------
     match = mm.match_lines(

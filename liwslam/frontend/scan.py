@@ -74,6 +74,17 @@ def resolve_fast_prefix(setting) -> bool:
     raise ValueError(f"bad fast_prefix setting: {setting!r}")
 
 
+def resolve_extract_impl(setting) -> str:
+    """Trace-time resolution of the extraction implementation switch:
+    "auto" -> the one-launch Pallas kernel on TPU (the per-frame program
+    is launch-latency-bound), the XLA chain elsewhere."""
+    if setting == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if setting in ("pallas", "xla"):
+        return setting
+    raise ValueError(f"bad extract_impl setting: {setting!r}")
+
+
 def _cumsum(x, axis=0, fast=False):
     return fastscan.cumsum_tri(x, axis) if fast else jnp.cumsum(x, axis)
 
@@ -173,9 +184,17 @@ def extract_features(
     # are exact below 2^24; every log-depth scan pass on TPU costs ~10-20
     # sequential kernels, so fusing independent scans matters more than
     # dtype purity (measured ~0.1 ms/frame per scan saved).
+    # Moments are computed about the scan CENTROID: the TLS covariance is
+    # a difference of large prefix sums (sum x^2 - mean^2), and on
+    # multi-meter coordinates the f32 cancellation noise rivals the span
+    # variance itself (mm-scale endpoint error at 1080 beams, round 5);
+    # centering is translation-equivariant and removes it.
     m = valid.astype(dtype)[:, None]
-    x = xy[:, 0:1] * m
-    y = xy[:, 1:2] * m
+    n_all = jnp.maximum(jnp.sum(m), 1.0)
+    ref_c = jnp.sum(xy * m, axis=0) / n_all  # (2,)
+    xyc = xy - ref_c[None, :]
+    x = xyc[:, 0:1] * m
+    y = xyc[:, 1:2] * m
     cols = jnp.concatenate(
         [jnp.logical_not(cont).astype(dtype)[:, None], x, y, x * x, x * y, y * y, m],
         axis=1,
@@ -313,7 +332,7 @@ def extract_features(
     spantbl = jnp.concatenate(
         [
             cs,  # (N+1,6) leading-zero-row prefix sums
-            jnp.concatenate([jnp.zeros((1, 2), dtype), xy]),
+            jnp.concatenate([jnp.zeros((1, 2), dtype), xyc]),
             jnp.concatenate([jnp.full((1,), -1.0, dtype), seg_f])[:, None],
             jnp.concatenate([jnp.zeros((1,), dtype), gap_full])[:, None],
         ],
@@ -352,8 +371,9 @@ def extract_features(
         d = jnp.sum(pt * nv, -1) + c
         return pt - d[:, None] * nv
 
-    e1 = project(xy, nvec, cc)  # xy[i1] with i1 = idx
-    e2 = project(g2[:, 6:8], nvec, cc)  # xy[i2] from the span table
+    # projections in centered coordinates, shifted back afterwards
+    e1 = project(xyc, nvec, cc) + ref_c[None, :]  # xy[i1] with i1 = idx
+    e2 = project(g2[:, 6:8], nvec, cc) + ref_c[None, :]  # xy[i2] (table)
     length = jnp.linalg.norm(e2 - e1, axis=-1)
 
     # max point-to-line distance over each candidate span, as ONE dense
@@ -368,7 +388,7 @@ def extract_features(
         & valid[None, :]
     )
     d_all = jnp.abs(
-        jnp.einsum("nd,md->mn", xy, nvec) + cc[:, None]
+        jnp.einsum("nd,md->mn", xyc, nvec) + cc[:, None]
     )  # (span m, point n) — one MXU matmul
     max_d = jnp.max(jnp.where(in_span, d_all, 0.0), axis=1)
 
@@ -400,6 +420,51 @@ def extract_features(
 
     return ScanFeatures(
         p1=lp1, p2=lp2, line_valid=lv, corners=corners, corner_valid=corner_valid
+    )
+
+
+def extract_features_pallas(
+    points,
+    valid,
+    *,
+    continuous_threshold: float,
+    min_len: float,
+    max_dis: float,
+    tolerance_angle_rad: float,
+    resolution: float,
+    max_lines: int,
+    max_corners: int,
+    interpret: bool = False,
+) -> ScanFeatures:
+    """extract_features with the line stages as ONE Pallas launch
+    (ops/extract.extract_lines_pallas); corner pairing runs on the
+    compacted (max_lines,)-sized outputs.  Parity pinned in
+    tests/test_extract_pallas.py."""
+    from liwslam.ops import extract as ext
+
+    dtype = points.dtype
+    e1, e2, lv, lgap = ext.extract_lines_pallas(
+        points,
+        valid,
+        continuous_threshold=continuous_threshold,
+        min_len=min_len,
+        max_dis=max_dis,
+        tolerance_angle_rad=tolerance_angle_rad,
+        max_lines=max_lines,
+        interpret=interpret,
+    )
+    z = jnp.zeros((max_lines, 1), dtype)
+    lp1 = jnp.concatenate([e1.astype(dtype), z], 1)
+    lp2 = jnp.concatenate([e2.astype(dtype), z], 1)
+    corners, corner_valid = _find_corners(
+        lp1[:, :2], lp2[:, :2], lv, resolution, max_corners, dtype,
+        end_gap=lgap.astype(dtype),
+    )
+    cz = jnp.zeros((max_corners, 1), dtype)
+    corners = jnp.concatenate([corners, cz], 1)
+    return ScanFeatures(
+        p1=lp1, p2=lp2, line_valid=lv, corners=corners,
+        corner_valid=corner_valid,
     )
 
 

@@ -58,7 +58,12 @@ def diag_sq(sigma):
 
 
 def exp_so3(w):
-    """Rodrigues: so3 vector (…,3) -> rotation matrix (…,3,3)."""
+    """Rodrigues: so3 vector (…,3) -> rotation matrix (…,3,3).
+
+    Fully elementwise closed form (K^2 == w w^T - theta^2 I), so XLA can
+    fuse it into neighboring ops instead of emitting a 3x3 dot kernel —
+    single-pose calls pepper the per-frame program (round-5 HLO census:
+    tiny-matrix dots were ~1/3 of the step's kernel count)."""
     w = jnp.asarray(w)
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
@@ -66,9 +71,26 @@ def exp_so3(w):
     # sin(t)/t and (1-cos t)/t^2 with Taylor fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta * theta))
-    K = skew(w)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    return eye + a[..., None, None] * K + b[..., None, None] * (K @ K)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    # R = (1 - b theta^2) I + a K + b w w^T
+    dgn = 1.0 - b * theta2
+    r00 = dgn + b * wx * wx
+    r11 = dgn + b * wy * wy
+    r22 = dgn + b * wz * wz
+    r01 = -a * wz + b * wx * wy
+    r10 = a * wz + b * wx * wy
+    r02 = a * wy + b * wx * wz
+    r20 = -a * wy + b * wx * wz
+    r12 = -a * wx + b * wy * wz
+    r21 = a * wx + b * wy * wz
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], -1),
+            jnp.stack([r10, r11, r12], -1),
+            jnp.stack([r20, r21, r22], -1),
+        ],
+        axis=-2,
+    )
 
 
 def quat_from_mat(R):
@@ -102,11 +124,13 @@ def quat_from_mat(R):
 
     scores = jnp.stack([tr, m00, m11, m22], -1)
     best = jnp.argmax(scores, axis=-1)
-    cands = jnp.stack([q0, q1, q2, q3], -2)  # (...,4,4)
-    q = jnp.take_along_axis(cands, best[..., None, None].astype(jnp.int32), axis=-2)[
-        ..., 0, :
-    ]
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # where-select instead of take_along_axis: a 4-way select fuses; the
+    # gather does not (and serializes on TPU)
+    b_ = best[..., None]
+    q = jnp.where(
+        b_ == 0, q0, jnp.where(b_ == 1, q1, jnp.where(b_ == 2, q2, q3))
+    )
+    q = q / safe_norm(q, keepdims=True)
     # canonical hemisphere (w >= 0) so the angle lands in [0, pi]
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     return q
@@ -139,26 +163,24 @@ def normalize_so3(w):
 
 def make_tf(p, w):
     """(p (…,3), so3 w (…,3)) -> homogeneous transform (…,4,4) (lie::make_tf)."""
-    p = jnp.asarray(p)
-    R = exp_so3(jnp.asarray(w))
-    batch = R.shape[:-2]
-    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
-    T = T.at[..., :3, :3].set(R)
-    T = T.at[..., :3, 3].set(p)
-    T = T.at[..., 3, 3].set(1.0)
-    return T
+    return make_tf_R(p, exp_so3(jnp.asarray(w)))
 
 
 def make_tf_R(p, R):
-    """(p (…,3), R (…,3,3)) -> (…,4,4)."""
+    """(p (…,3), R (…,3,3)) -> (…,4,4).
+
+    Concatenation-based assembly: ``.at[].set`` lowers to
+    dynamic-update-slice kernels that break XLA fusion chains."""
     p = jnp.asarray(p)
     R = jnp.asarray(R)
-    batch = R.shape[:-2]
-    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
-    T = T.at[..., :3, :3].set(R)
-    T = T.at[..., :3, 3].set(p)
-    T = T.at[..., 3, 3].set(1.0)
-    return T
+    batch = jnp.broadcast_shapes(R.shape[:-2], p.shape[:-1])
+    R = jnp.broadcast_to(R, batch + (3, 3))
+    p = jnp.broadcast_to(p, batch + (3,))
+    top = jnp.concatenate([R, p[..., :, None]], axis=-1)  # (...,3,4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], R.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def log_SE3(T):
@@ -174,18 +196,26 @@ def tf_inv(T):
     R = T[..., :3, :3]
     p = T[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    return make_tf_R(-(Rt @ p[..., None])[..., 0], Rt)
+    # (R^T p)_i = sum_j R_ji p_j — elementwise+reduce fuses; a 3x1 dot
+    # kernel does not
+    Rtp = jnp.sum(R * p[..., :, None], axis=-2)
+    return make_tf_R(-Rtp, Rt)
 
 
 def tf_apply(T, pts):
     """Apply (…,4,4) to points (…,3) (broadcasting over leading dims)."""
     T = jnp.asarray(T)
     pts = jnp.asarray(pts)
-    return (T[..., :3, :3] @ pts[..., None])[..., 0] + T[..., :3, 3]
+    rot = jnp.sum(T[..., :3, :3] * pts[..., None, :], axis=-1)
+    return rot + T[..., :3, 3]
 
 
 def tf_compose(A, B):
-    return A @ B
+    """Elementwise 4x4 compose (C_ij = sum_k A_ik B_kj) — fuses, unlike
+    a tiny dot kernel; use for single/small-batch pose chains."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
 def normalize_tf(T):

@@ -357,7 +357,7 @@ def filter_outliers(cam: CamTrackState, cur_p, cur_q, cdyn: CamDynCfg) -> CamTra
     (remove_all_features_without_lastest_frame)."""
     fw = cam.fw
     Wc = fw.obs.shape[1]
-    T_w_c = geo.make_tf(cur_p, cur_q) @ cdyn.T_imu_to_camera
+    T_w_c = geo.tf_compose(geo.make_tf(cur_p, cur_q), cdyn.T_imu_to_camera)
     cm = jax.vmap(lambda wpt: geo.tf_apply(geo.tf_inv(T_w_c), wpt))(fw.world)
     z = cm[:, 2]
     zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -448,8 +448,8 @@ def camera_sub_step(
 
     # --- dead reckoning to the camera stamp (update_current_status) ------
     Tiw = consts.T_imu_to_wheel
-    delta_imu = Tiw @ wheel_res.delta_T @ geo.tf_inv(Tiw)
-    pred_T = geo.make_tf(cur_p, cur_q) @ delta_imu
+    delta_imu = geo.tf_compose(geo.tf_compose(Tiw, wheel_res.delta_T), geo.tf_inv(Tiw))
+    pred_T = geo.tf_compose(geo.make_tf(cur_p, cur_q), delta_imu)
     pred_p, pred_q = geo.log_SE3(pred_T)
 
     # --- feature tracking + observation recording ------------------------

@@ -132,9 +132,9 @@ def match_lines(
     """do_match (laser_manager.cpp:244-348) as a dense score matrix."""
     dtype = scan.p1.dtype
     Til = jnp.asarray(T_imu_to_laser, dtype)
-    T1 = geo.make_tf(ref.pose_p, ref.pose_q) @ Til
-    T2 = geo.make_tf(jnp.asarray(cur_p, dtype), jnp.asarray(cur_q, dtype)) @ Til
-    T_1_2 = geo.tf_inv(T1) @ T2
+    T1 = geo.tf_compose(geo.make_tf(ref.pose_p, ref.pose_q), Til)
+    T2 = geo.tf_compose(geo.make_tf(jnp.asarray(cur_p, dtype), jnp.asarray(cur_q, dtype)), Til)
+    T_1_2 = geo.tf_compose(geo.tf_inv(T1), T2)
 
     # transform new lines into the reference laser frame
     q1 = geo.tf_apply(T_1_2, scan.p1)
@@ -251,7 +251,7 @@ def add_scan(
     )
 
     # ---- motion filter ---------------------------------------------------
-    dp, dq = geo.log_SE3(geo.tf_inv(pair.last_add_T) @ cur_T)
+    dp, dq = geo.log_SE3(geo.tf_compose(geo.tf_inv(pair.last_add_T), cur_T))
     still = (jnp.linalg.norm(dp) < motion_filter_p) & (
         jnp.linalg.norm(dq) < motion_filter_q
     )
@@ -259,7 +259,7 @@ def add_scan(
     # ---- case B: accumulate into ref (+ spawning) ------------------------
     def lines_in(sub: RefSubmap):
         T_sub = geo.make_tf(sub.pose_p, sub.pose_q)
-        l_rel = geo.tf_inv(Til) @ geo.tf_inv(T_sub) @ cur_T @ Til
+        l_rel = geo.tf_compose(geo.tf_compose(geo.tf_compose(geo.tf_inv(Til), geo.tf_inv(T_sub)), cur_T), Til)
         return geo.tf_apply(l_rel, scan.p1), geo.tf_apply(l_rel, scan.p2)
 
     a1, a2 = lines_in(pair.ref)

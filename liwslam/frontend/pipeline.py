@@ -258,7 +258,7 @@ def tracking_step(
     cur_bs = state.win.bs[-1]
 
     # --- 1. de-skew with the current twist estimate (trajectory.cpp:140-147)
-    T_w_l = geo.make_tf(cur_p, cur_q) @ Til
+    T_w_l = geo.tf_compose(geo.make_tf(cur_p, cur_q), Til)
     R_wl = T_w_l[:3, :3]
     R_il = Til[:3, :3]
     ang_laser = geo.log_SO3(R_il.T @ geo.exp_so3(state.angular_local) @ R_il)
@@ -297,8 +297,8 @@ def tracking_step(
     ang = imu_res.X[6:9] / jnp.maximum(imu_res.Dt, 1e-6)
 
     # --- 3. dead reckoning via the wheel delta (trajectory.cpp:82-98,189-192)
-    delta_imu = Tiw @ wheel_res.delta_T @ geo.tf_inv(Tiw)
-    pred_T = geo.make_tf(cur_p, cur_q) @ delta_imu
+    delta_imu = geo.tf_compose(geo.tf_compose(Tiw, wheel_res.delta_T), geo.tf_inv(Tiw))
+    pred_T = geo.tf_compose(geo.make_tf(cur_p, cur_q), delta_imu)
     pred_p, pred_q = geo.log_SE3(pred_T)
 
     # --- 4. feature extraction -------------------------------------------
@@ -411,8 +411,8 @@ def tracking_step(
     new_p, new_q, new_v, new_bs = win.p[-1], win.q[-1], win.v[-1], win.bs[-1]
 
     # --- 8. keyframe decision (trajectory.cpp:247-270) ---------------------
-    cur_laser_T = geo.make_tf(new_p, new_q) @ Til
-    dkp, dkq = geo.log_SE3(geo.tf_inv(state.last_keyframe_T) @ cur_laser_T)
+    cur_laser_T = geo.tf_compose(geo.make_tf(new_p, new_q), Til)
+    dkp, dkq = geo.log_SE3(geo.tf_compose(geo.tf_inv(state.last_keyframe_T), cur_laser_T))
     moved = (geo.safe_norm(dkp) >= dcfg.kf_p_threshold) | (
         geo.safe_norm(dkq) >= dcfg.kf_q_threshold
     )

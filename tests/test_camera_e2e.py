@@ -28,7 +28,11 @@ def cam_params(enable=True):
             0.0, -1.0, 0.0, 0.0,
             0.0, 0.0, 0.0, 1.0,
         ),
-        camera_sigma=(1.5, 1.5),
+        # 6 px: calibrated on the bench track (tools/diag_camera_ate.py
+        # sweep, round 5) — 1.5 px was overconfident for the actual
+        # observation error (LK noise + frozen-ring linearization bias)
+        # and DEGRADED ATE 4x; at 6 px the camera is ATE-neutral
+        camera_sigma=(6.0, 6.0),
         max_camera_reproject_error=4.0,  # px (normalized by fx internally)
         max_camera_feature_dis=30.0,
         max_feature_num=40,
@@ -158,3 +162,45 @@ def test_prior_history_length_within_noise(run_cam, streams):
     # load-bearing on this workload, so neither would landmark columns)
     assert ate4 < 0.1, ate4
     assert ate4 <= ate8 + 0.03, (ate4, ate8)
+
+
+def test_camera_ate_not_worse_than_laser():
+    """VERDICT r4 gate: fusing the camera must not cost accuracy.
+
+    Round-4 bench showed camera-enabled ATE 0.022 m vs 0.004 m laser-only;
+    tools/diag_camera_ate.py traced it to overconfident reprojection rows
+    (camera_sigma=1.5 px vs the actual observation error: cam-weak matched
+    laser-only exactly, and the sigma sweep was monotone).  With the
+    calibrated 6 px weighting the camera is ATE-neutral; this pins
+    camera ATE <= laser ATE * 1.5 on a noisy track so the regression
+    can't come back silently."""
+    prm_cam = cam_params().replace(max_points=512)
+    streams = sim.simulate(
+        sim.default_track("smallloop"),
+        sim.square_room(size=10.0, obstacles=True, rich=True),
+        prm_cam,
+        imu_hz=100,
+        wheel_hz=20,
+        laser_hz=10,
+        n_beams=360,
+        camera_hz=10.0,
+        camera_wh=(W_PX, H_PX),
+        noise=True,
+        seed=2,
+    )
+
+    def ate_of(prm):
+        import jax.numpy as jnp
+
+        from liwslam.core import geometry as geo
+
+        fe = Frontend(prm)
+        res = fe.run(streams, chunk_size=16)
+        est = np.asarray(geo.make_tf(jnp.asarray(res.p), jnp.asarray(res.q)))
+        pairs = metrics.associate_by_time(res.t_us, streams.gt_t_us)
+        gt = streams.gt_T_w_imu[pairs[:, 1]]
+        return metrics.ate_rmse(est[pairs[:, 0]], gt, align=True)
+
+    ate_laser = ate_of(prm_cam.replace(enable_camera=False))
+    ate_cam = ate_of(prm_cam)
+    assert ate_cam <= max(ate_laser * 1.5, 0.01), (ate_cam, ate_laser)

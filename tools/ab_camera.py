@@ -59,7 +59,11 @@ def main():
             0.0, -1.0, 0.0, 0.0,
             0.0, 0.0, 0.0, 1.0,
         ),
-        camera_sigma=(1.5, 1.5),
+        # 6 px: calibrated on the bench track (tools/diag_camera_ate.py
+        # sweep, round 5) — 1.5 px was overconfident for the actual
+        # observation error (LK noise + frozen-ring linearization bias)
+        # and DEGRADED ATE 4x; at 6 px the camera is ATE-neutral
+        camera_sigma=(6.0, 6.0),
         max_camera_reproject_error=4.0,
         max_camera_feature_dis=30.0,
         max_feature_num=40,

@@ -77,14 +77,21 @@ def main():
         dev = arr[:, 1] * 1e3
         host = tot - dev
         # steady state: drop the first submap_count keyframes (growing
-        # descriptor history) and any keyframe containing a solve
+        # descriptor history) and any keyframe containing a cadenced
+        # pose-graph solve (reported separately — the reference solves at
+        # >= 10 s intervals, keyframe_manager.cpp:839-848)
         solve_ms = [s * 1e3 for s in mgr.perf["solve_s"]]
         n0 = prm.submap_count
+        keep = np.ones(len(tot), bool)
+        keep[:n0] = False
+        for k_s in mgr.perf.get("solve_kf", []):
+            if k_s < len(keep):
+                keep[k_s] = False
         print(
             f"[{label}] total {wall:.2f}s for {len(kfs)} kfs | per-kf "
-            f"(steady, n={len(tot[n0:])}): total {np.mean(tot[n0:]):.1f} ms "
-            f"(p50 {np.median(tot[n0:]):.1f}, p95 {np.percentile(tot[n0:], 95):.1f}) "
-            f"= host {np.mean(host[n0:]):.1f} + device {np.mean(dev[n0:]):.1f} | "
+            f"(steady, n={int(keep.sum())}): total {np.mean(tot[keep]):.1f} ms "
+            f"(p50 {np.median(tot[keep]):.1f}, p95 {np.percentile(tot[keep], 95):.1f}) "
+            f"= host {np.mean(host[keep]):.1f} + device {np.mean(dev[keep]):.1f} | "
             f"solves: {len(solve_ms)} x {np.mean(solve_ms) if solve_ms else 0:.0f} ms | "
             f"jit buckets: {len(mgr._compiled)}",
             flush=True,

@@ -71,6 +71,11 @@ class KeyframeManager:
         self.pg_consts = pg.make_pg_consts(params, dtype)
         self._compiled = {}
         self.loops_found: list = []  # (i_new, i_old, tf12) for diagnostics
+        # candidates that matched the descriptor threshold but were
+        # REJECTED by a safety gate: (reason, i1, i2).  Observability for
+        # perceptual-aliasing analysis (a wrong loop is the worst SLAM
+        # failure; keyframe_manager.cpp:694-706 gates silently)
+        self.loop_rejections: list = []
         # per-session rolling window of the last submap_count laser
         # keyframes' (index, corners) — avoids re-scanning all keyframes
         # on every spawn (keyframe_manager.cpp:898-925 walks the deque tail)
@@ -614,8 +619,10 @@ class KeyframeManager:
                     float(np.linalg.norm(dp)) > prm.loop_max_tf_p
                     or float(np.linalg.norm(dq)) > prm.loop_max_tf_q
                 ):
+                    self.loop_rejections.append(("drift", i1, i2))
                     continue
             if not self._verify_loop(i1, i2, i_t12):
+                self.loop_rejections.append(("verify", i1, i2))
                 continue
             self._union_sessions(s1, s2)
             return (i1, i2, i_t12)
@@ -650,12 +657,15 @@ class KeyframeManager:
 
     # ------------------------------------------------------------------
 
-    def _build_graph(self):
+    def _build_graph(self, min_K=64, min_E=128):
+        """Padded pose graph; ``min_K``/``min_E`` let a distributed caller
+        pin STATIC capacities (multi-process broadcast needs shapes agreed
+        before the graph contents exist)."""
         prm = self.params
         K = len(self.keyframes)
         E = len(self.seq_edges) + len(self.loop_edges)
-        Kc = max(64, 1 << (K - 1).bit_length())
-        Ec = max(128, 1 << (E - 1).bit_length())
+        Kc = max(min_K, 1 << (K - 1).bit_length())
+        Ec = max(min_E, 1 << (E - 1).bit_length())
         g = pg.empty_graph(Kc, Ec, self.dtype)
         p = np.zeros((Kc, 3), np.float32)
         q = np.zeros((Kc, 3), np.float32)

@@ -21,7 +21,10 @@ import numpy as np
 
 def _local_cpu():
     try:
-        return jax.devices("cpu")[0]
+        # local_devices, not devices: under jax.distributed the global
+        # device list starts with process 0's devices, which other
+        # processes cannot address (their jit outputs can't be fetched)
+        return jax.local_devices(backend="cpu")[0]
     except Exception:  # cpu backend not exposed on this platform set
         return None
 

@@ -33,6 +33,28 @@ from liwslam.backend.manager import KeyframeManager
 from liwslam.frontend.driver import Frontend, FrontendResult
 
 
+def _render_live_map(path, snap, resolution, Til):
+    """Occupancy snapshot from (p, q, scan_lines) keyframe tuples — runs
+    on the async writer thread (visualization.cpp:50-75 equivalent)."""
+    from liwslam.backend.loop import densify_lines
+    from liwslam.core import geometry as geo
+    from liwslam.eval import occupancy
+
+    scans_xy, origins = [], []
+    for p, q, (l1, l2) in snap:
+        T_wl = geo.make_tf_np(p.astype(np.float64), q.astype(np.float64)) @ Til
+        pts = densify_lines(l1, l2, resolution)
+        w = (T_wl[:3, :3] @ pts.T).T + T_wl[:3, 3]
+        scans_xy.append(w[:, :2])
+        origins.append(T_wl[:2, 3])
+    if not scans_xy:
+        return
+    grid, _origin = occupancy.build_occupancy(
+        scans_xy, np.asarray(origins), resolution=resolution
+    )
+    occupancy.write_pgm(path, grid)
+
+
 @dataclass
 class OnlineResult:
     frontend: FrontendResult
@@ -54,11 +76,31 @@ class OnlineResult:
 class OnlineRunner:
     """Drives Frontend and KeyframeManager concurrently."""
 
-    def __init__(self, params, overlap=True):
+    def __init__(self, params, overlap=True, live_dir=None, live_every=4):
+        """``live_dir``: emit DURING-RUN artifacts there at chunk
+        boundaries (reference visualization-thread parity: rviz streams
+        markers/occupancy while running, visualization.cpp:557-691; here
+        the artifacts are files refreshed as the run progresses):
+        ``live_trajectory.txt`` (TUM, re-based live poses, every chunk)
+        and ``live_map.pgm`` (occupancy from loop-corrected keyframes,
+        every ``live_every`` chunks).  Writes happen on the async writer
+        thread — the frontend never blocks on IO."""
         self.params = params
         self.overlap = overlap
         self.fe = Frontend(params)
         self.mgr = KeyframeManager(params)
+        self.live_dir = live_dir
+        self.live_every = max(1, int(live_every))
+        self._writer = None
+        self._chunk_no = 0
+        self.live_emits = 0  # trajectory refreshes submitted during the run
+        if live_dir is not None:
+            import os
+
+            from liwslam.utils.asyncwriter import AsyncWriter
+
+            os.makedirs(live_dir, exist_ok=True)
+            self._writer = AsyncWriter()
         # BOUNDED mailbox (cf. utils/asyncwriter.py): a backend that falls
         # behind blocks the frontend at a chunk boundary (backpressure)
         # instead of accumulating keyframe payloads without limit — a
@@ -112,6 +154,41 @@ class OnlineRunner:
 
         live_T = []
         live_dn = []
+        live_ts = []
+
+        def emit_live(info):
+            import os
+
+            from liwslam.io import tum
+
+            self._chunk_no += 1
+            self.live_emits += 1
+            out = self.live_dir
+            Tiw = self.params.mat_T_imu_to_wheel()
+            # live trajectory: the re-based poses published so far
+            self._writer.submit(
+                tum.write_tum,
+                os.path.join(out, "live_trajectory.txt"),
+                np.asarray(live_ts),
+                np.stack(live_T) @ Tiw,
+            )
+            if self._chunk_no % self.live_every == 0:
+                # occupancy snapshot from the loop-corrected keyframes;
+                # per-kf pose arrays are snapshotted here (the backend
+                # worker swaps them atomically after solves)
+                n = len(self.mgr.keyframes)
+                snap = []
+                for kf in self.mgr.keyframes[:n]:
+                    if kf.scan_lines is None or len(kf.scan_lines[0]) == 0:
+                        continue
+                    snap.append((kf.p.copy(), kf.q.copy(), kf.scan_lines))
+                self._writer.submit(
+                    _render_live_map,
+                    os.path.join(out, "live_map.pgm"),
+                    snap,
+                    2.0 * self.params.laser_resolution,
+                    self.params.mat_T_imu_to_laser(),
+                )
 
         def on_chunk(info):
             # hand this chunk's keyframes to the back end (mailbox push,
@@ -132,6 +209,9 @@ class OnlineRunner:
                 )
                 live_T.append(delta @ T)
                 live_dn.append(dp)
+            live_ts.extend(info["t_us"])
+            if self._writer is not None and live_T:
+                emit_live(info)
 
         t_start = time.perf_counter()
         fe_t0 = time.perf_counter()
@@ -146,6 +226,10 @@ class OnlineRunner:
             drain_wait = time.perf_counter() - t_d
             if self._worker_exc is not None:
                 raise self._worker_exc
+        if self._writer is not None:
+            errs = self._writer.close()
+            if errs:
+                raise RuntimeError("live artifact writer failed: " + "; ".join(errs))
         wall = time.perf_counter() - t_start
 
         # init-window frames precede the first chunk: identity correction

@@ -44,6 +44,14 @@ def main(argv=None):
     )
     ap.add_argument("--out", default="/tmp/liwslam_out")
     ap.add_argument("--no-backend", action="store_true")
+    ap.add_argument(
+        "--online",
+        action="store_true",
+        help="concurrent backend worker (liwslam.online) + DURING-RUN "
+        "artifacts: live_trajectory.txt every chunk and live_map.pgm "
+        "periodically, refreshed in --out while the run progresses "
+        "(the reference's visualization-thread capability)",
+    )
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--laser-hz", type=float, default=10.0)
     ap.add_argument("--beams", type=int, default=1080)
@@ -118,10 +126,21 @@ def main(argv=None):
         ap.error("need --synthetic or --sequence")
 
     os.makedirs(args.out, exist_ok=True)
-    fe = Frontend(prm)
-    rec.begin_record()
-    res = fe.run(streams, chunk_size=args.chunk)
-    rec.end_record("frontend total")
+    online_mgr = None
+    if args.online:
+        from liwslam.online import OnlineRunner
+
+        runner = OnlineRunner(prm, overlap=True, live_dir=args.out)
+        rec.begin_record()
+        ores = runner.run(streams, chunk_size=args.chunk)
+        rec.end_record("frontend total (online)")
+        res = ores.frontend
+        online_mgr = ores.manager
+    else:
+        fe = Frontend(prm)
+        rec.begin_record()
+        res = fe.run(streams, chunk_size=args.chunk)
+        rec.end_record("frontend total")
     F = len(res.p)
     print(f"frontend: {F} frames, {int(res.is_keyframe.sum())} keyframes", file=sys.stderr)
 
@@ -144,19 +163,22 @@ def main(argv=None):
             )
 
     if not args.no_backend:
-        mgr = KeyframeManager(prm)
-        rec.begin_record()
-        ki = 0
-        for fi in np.flatnonzero(res.is_keyframe):
-            mgr.add_keyframe(
-                t_us=int(res.t_us[fi]),
-                p=res.p[fi],
-                q=res.q[fi],
-                corners=res.kf_corners[ki],
-                scan_lines=res.kf_scans[ki],
-            )
-            ki += 1
-        rec.end_record("backend total")
+        if online_mgr is not None:
+            mgr = online_mgr  # already fed concurrently during the run
+        else:
+            mgr = KeyframeManager(prm)
+            rec.begin_record()
+            ki = 0
+            for fi in np.flatnonzero(res.is_keyframe):
+                mgr.add_keyframe(
+                    t_us=int(res.t_us[fi]),
+                    p=res.p[fi],
+                    q=res.q[fi],
+                    corners=res.kf_corners[ki],
+                    scan_lines=res.kf_scans[ki],
+                )
+                ki += 1
+            rec.end_record("backend total")
         ts, Ts = mgr.trajectory()
         if len(ts):
             tum.write_tum(os.path.join(args.out, "back_end.txt"), ts, Ts @ Tiw)

@@ -53,6 +53,19 @@ def main():
         solver_max_iterations=8,
         init_solver_max_iterations=25,
     )
+    # extra KEY=VALUE overrides (e.g. solver_method=chol — the vmapped
+    # one-kernel pallas solve serializes per sequence, see BASELINE.md
+    # multiseq-ceiling note)
+    for kv in sys.argv[3:]:
+        k, v = kv.split("=", 1)
+        cur = getattr(prm, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        prm = prm.replace(**{k: v})
     Bmax = max(Bs)
     seqs = [make_sequence(prm, seed=1 + i) for i in range(Bmax)]
     fe = seqs[0][0]

@@ -359,6 +359,11 @@ def tracking_step(
         # mode on non-TPU backends so CPU tests drive the same math
         from liwslam.ops import track_solve
 
+        # statically-frozen dims skip their in-kernel factorization steps
+        # (frame-0 pose always; biases too in fast_mode — solver.cpp:744)
+        frozen = (0, 1, 2, 3, 4, 5)
+        if scfg.fast_mode:
+            frozen = frozen + (9, 10, 11, 12, 13, 14)
         x_opt, cost, dH, dg = track_solve.lm_solve_track(
             win.flat(),
             free,
@@ -367,6 +372,7 @@ def tracking_step(
             max_iters=scfg.solver_max_iterations,
             interpret=jax.default_backend() != "tpu",
             early_exit=scfg.solver_early_exit,
+            frozen_dims=frozen,
         )
         if scfg.fast_mode:
             prior_J, prior_X, prior_res, prior_valid = (

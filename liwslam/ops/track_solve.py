@@ -481,13 +481,28 @@ def _diag(A):
     return jnp.sum(jnp.where(ii == jj, A, 0.0), axis=1)
 
 
-def _cholesky(A, n):
-    """Lower Cholesky of (n,n) via n unrolled rank-1 updates (no linalg)."""
+def _cholesky(A, n, skip=()):
+    """Lower Cholesky of (n,n) via unrolled rank-1 updates (no linalg).
+
+    ``skip``: STATICALLY-frozen dims whose rows/cols of A are identity
+    (the damped step masks them so); their pivot steps are exact no-ops
+    (L column = e_k, zero rank-1 update), so eliding them cuts the
+    sequential-depth-dominated solve (30 -> 24 steps full mode, 18 in
+    fast_mode — the per-LM-iteration cost is this unrolled chain)."""
     dtype = A.dtype
-    L = jnp.zeros_like(A)
+    skip = frozenset(skip)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    L = jnp.zeros_like(A)
+    if skip:
+        # identity columns for the skipped dims (no i1 transposes —
+        # Mosaic has no lowering for them)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        for k in sorted(skip):
+            L = jnp.where((ii == k) & (col_ids == k), 1.0, L)
     for k in range(n):
+        if k in skip:
+            continue
         pivot = jnp.sqrt(jnp.maximum(A[k, k], 1e-20))
         col = jnp.where(row_ids >= k, A[:, k] / pivot, jnp.zeros(n, dtype))
         L = jnp.where(col_ids == k, col[:, None], L)
@@ -524,12 +539,16 @@ def _masked_dot(w, y):
     return jnp.sum(w[:, None] * y, axis=0)
 
 
-def _solve_lower(L, b, n):
+def _solve_lower(L, b, n, skip=()):
     """L y = b by forward substitution (unrolled); b (n,) or (n,m).
-    All per-step operands stay full-size (masked), never sliced."""
+    All per-step operands stay full-size (masked), never sliced.
+    ``skip`` dims have b[k] == 0 and L column e_k -> y[k] stays 0."""
+    skip = frozenset(skip)
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     y = jnp.zeros_like(b)
     for k in range(n):
+        if k in skip:
+            continue
         w = jnp.where(ids < k, _row_of(L, k, n), 0.0)
         acc = _masked_dot(w, y)
         bk = b[k] if b.ndim == 1 else _row_of(b, k, n)
@@ -537,11 +556,14 @@ def _solve_lower(L, b, n):
     return y
 
 
-def _solve_upper_t(L, b, n):
+def _solve_upper_t(L, b, n, skip=()):
     """L^T x = b by back substitution (unrolled)."""
+    skip = frozenset(skip)
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     x = jnp.zeros_like(b)
     for k in range(n - 1, -1, -1):
+        if k in skip:
+            continue
         w = jnp.where(ids > k, L[:, k], 0.0)
         acc = _masked_dot(w, x)
         bk = b[k] if b.ndim == 1 else _row_of(b, k, n)
@@ -564,6 +586,7 @@ def _kernel(
     *,
     M: int,
     max_iters: int,
+    frozen_dims: tuple,
     lam_init: float,
     lam_up: float,
     lam_down: float,
@@ -652,9 +675,11 @@ def _kernel(
         b = jnp.where(fm, gneg, 0.0)
         s = 1.0 / jnp.sqrt(jnp.maximum(_diag(A), 1e-20))
         As = A * s[:, None] * s[None, :]
-        L = _cholesky(As, D)
-        y = _solve_lower(L, s * b, D)
-        y = _solve_upper_t(L, y, D)
+        # statically-frozen dims are identity rows of As with zero rhs:
+        # their factorization/substitution steps are exact no-ops
+        L = _cholesky(As, D, skip=frozen_dims)
+        y = _solve_lower(L, s * b, D, skip=frozen_dims)
+        y = _solve_upper_t(L, y, D, skip=frozen_dims)
         dx = s * y * free
         bad = jnp.where(jnp.isfinite(dx), 0.0, 1.0)
         ok = _sum1d(bad) < 0.5
@@ -797,7 +822,9 @@ def pack_inputs(x0, free, data, consts, dtype=jnp.float32):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "ftol", "xtol", "interpret", "early_exit"),
+    static_argnames=(
+        "max_iters", "ftol", "xtol", "interpret", "early_exit", "frozen_dims"
+    ),
 )
 def lm_solve_track(
     x0,
@@ -810,6 +837,7 @@ def lm_solve_track(
     xtol: float = 1e-7,
     interpret: bool = False,
     early_exit: bool = True,
+    frozen_dims: tuple = (0, 1, 2, 3, 4, 5),
 ):
     """One-kernel tracking solve.  Returns (x_opt, cost, dH (15,15), dg (15,)).
 
@@ -822,6 +850,7 @@ def lm_solve_track(
         _kernel,
         M=M,
         max_iters=max_iters,
+        frozen_dims=tuple(frozen_dims),
         lam_init=1e-4,
         lam_up=4.0,
         lam_down=0.33,

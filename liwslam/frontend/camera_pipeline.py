@@ -505,6 +505,9 @@ def camera_sub_step(
         from liwslam.ops import cam_solve
 
         use = fw.obs_mask & fw.ready[:, None] & cam.ring_valid[None, :]
+        frozen = (0, 1, 2, 3, 4, 5)
+        if scfg.fast_mode:
+            frozen = frozen + (9, 10, 11, 12, 13, 14)
         x30_opt, world_opt, cost, k_dH, k_dg = cam_solve.lm_solve_cam(
             win.flat(),
             free30,
@@ -520,6 +523,7 @@ def camera_sub_step(
             cdyn.sqrt_info,
             max_iters=ccfg.solver_max_iterations,
             interpret=jax.default_backend() != "tpu",
+            frozen_dims=frozen,
         )
         kernel_prior = (k_dH, k_dg)
     elif solver == "schur":

@@ -80,6 +80,7 @@ def _kernel(
     wld_ref,  # (F,128): cols 0:3 world_opt
     schur_ref,  # (24,128): rows0:15 dH, row16 dg
     *,
+    frozen_dims: tuple,
     Wc: int,
     Wcp: int,
     F: int,
@@ -301,9 +302,11 @@ def _kernel(
 
         s = 1.0 / jnp.sqrt(jnp.maximum(_diag(A), 1e-20))
         As = A * s[:, None] * s[None, :]
-        L = _cholesky(As, D)
-        y = _solve_lower(L, s * b_vec, D)
-        y = _solve_upper_t(L, y, D)
+        # statically-frozen dims are identity rows with zero rhs: their
+        # factorization steps are exact no-ops (track_solve semantics)
+        L = _cholesky(As, D, skip=frozen_dims)
+        y = _solve_lower(L, s * b_vec, D, skip=frozen_dims)
+        y = _solve_upper_t(L, y, D, skip=frozen_dims)
         dxp = s * y
         bad = jnp.where(jnp.isfinite(dxp), 0.0, 1.0)
         ok = _sum1d(bad) < 0.5
@@ -429,7 +432,7 @@ def _round8(n):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "ftol", "xtol", "interpret"),
+    static_argnames=("max_iters", "ftol", "xtol", "interpret", "frozen_dims"),
 )
 def lm_solve_cam(
     x0,
@@ -446,6 +449,7 @@ def lm_solve_cam(
     sqrt_info,  # (2,)
     *,
     max_iters: int = 10,
+    frozen_dims: tuple = (0, 1, 2, 3, 4, 5),
     ftol: float = 3e-4,
     xtol: float = 1e-7,
     interpret: bool = False,
@@ -485,6 +489,7 @@ def lm_solve_cam(
         Wcp=Wcp,
         F=F,
         max_iters=max_iters,
+        frozen_dims=tuple(frozen_dims),
         lam_init=1e-4,
         lam_up=4.0,
         lam_down=0.33,
